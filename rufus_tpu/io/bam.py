@@ -1,0 +1,187 @@
+"""Minimal BAM reader: BGZF + BAM record decoding, no external deps.
+
+Replaces `samtools view -F 3328 <bam>` generator streams (reference:
+runRufus.sh:595-658) — this environment has no samtools/pysam, and the
+rebuild wants a native streaming decode anyway (a C++ decoder backs this
+interface for throughput; this pure-Python version is the reference
+implementation and fallback).
+
+BAM spec: https://samtools.github.io/hts-specs/SAMv1.pdf section 4.2.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+# 4-bit seq codes -> base (SAMv1 4.2.3)
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+
+# CIGAR op codes (SAMv1 4.2.2): MIDNSHP=X
+CIGAR_OPS = "MIDNSHP=X"
+
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_MATE1 = 0x40
+FLAG_MATE2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+# samtools view -F 3328 == skip secondary|dup|supplementary
+DEFAULT_EXCLUDE = FLAG_SECONDARY | FLAG_DUP | FLAG_SUPPLEMENTARY
+
+_COMP = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def revcomp_bytes(seq: bytes) -> bytes:
+    return seq.translate(_COMP)[::-1]
+
+
+@dataclass
+class BamRecord:
+    name: str
+    flag: int
+    ref_id: int
+    pos: int  # 0-based
+    mapq: int
+    cigar: list[tuple[int, str]]  # (length, op)
+    seq: str
+    qual: str  # ASCII phred+33
+    next_ref_id: int = -1
+    next_pos: int = -1
+    tlen: int = 0
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & FLAG_REVERSE)
+
+    def cigar_string(self) -> str:
+        if not self.cigar:
+            return "*"
+        return "".join(f"{n}{op}" for n, op in self.cigar)
+
+
+def bgzf_decompress(path: str) -> bytes:
+    """Decompress a BGZF file (concatenated gzip members)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # gzip.decompress handles multi-member streams
+    return gzip.decompress(data)
+
+
+def read_bam(path: str):
+    """Parse a BAM file -> (references, records iterator materialized).
+
+    references: list of (name, length).
+    """
+    raw = bgzf_decompress(path)
+    if raw[:4] != b"BAM\x01":
+        raise ValueError(f"{path}: not a BAM file")
+    off = 4
+    (l_text,) = struct.unpack_from("<i", raw, off)
+    off += 4 + l_text
+    (n_ref,) = struct.unpack_from("<i", raw, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        name = raw[off : off + l_name - 1].decode()
+        off += l_name
+        (l_ref,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        refs.append((name, l_ref))
+    return refs, _parse_records(raw, off)
+
+
+def _parse_records(raw: bytes, off: int) -> Iterator[BamRecord]:
+    n = len(raw)
+    while off < n:
+        (block_size,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        end = off + block_size
+        (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         next_ref_id, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", raw, off)
+        p = off + 32
+        name = raw[p : p + l_read_name - 1].decode()
+        p += l_read_name
+        cigar = []
+        for i in range(n_cigar):
+            (c,) = struct.unpack_from("<I", raw, p)
+            p += 4
+            cigar.append((c >> 4, CIGAR_OPS[c & 0xF]))
+        nybbles = raw[p : p + (l_seq + 1) // 2]
+        p += (l_seq + 1) // 2
+        seq_chars = []
+        for i in range(l_seq):
+            b = nybbles[i // 2]
+            code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+            seq_chars.append(SEQ_CODES[code])
+        seq = "".join(seq_chars)
+        qual_raw = raw[p : p + l_seq]
+        p += l_seq
+        if l_seq and qual_raw[0] == 0xFF:
+            qual = "*"
+        else:
+            qual = bytes(q + 33 for q in qual_raw).decode("latin1")
+        # tags ignored for now (p..end)
+        off = end
+        yield BamRecord(name, flag, ref_id, pos, mapq, cigar, seq, qual,
+                        next_ref_id, next_pos, tlen)
+
+
+def bam_to_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
+    """Unpaired pass-through: BAM -> (name, seq, qual) stream, as-is.
+
+    Matches `samtools view -F 3328 | PassThroughSamCheck` feeding jellyfish
+    (reference: RunJellyForRUFUS.sh:28; PassThroughSamCheck.cpp:147-153 —
+    no strand fix; canonical counting is orientation-free).
+    """
+    _, records = read_bam(path)
+    for r in records:
+        if r.flag & exclude_flags:
+            continue
+        yield r.name, r.seq, r.qual
+
+
+def bam_to_paired_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
+    """Stranded pair-matching pass-through: BAM -> (name, m1, q1, m2, q2).
+
+    Matches PassThroughSamCheck.stranded.cpp:192-279: reads are paired by
+    name hashmap; flag-0x10 records are reverse-complemented back to
+    sequencing orientation; the SECOND record seen for a name becomes
+    mate1, the stashed first becomes mate2.
+    """
+    pending: dict[str, tuple[str, str]] = {}
+    _, records = read_bam(path)
+    for r in records:
+        if r.flag & exclude_flags:
+            continue
+        seq, qual = r.seq, r.qual
+        if r.flag & FLAG_REVERSE:
+            seq = revcomp_bytes(seq.encode()).decode()
+            qual = qual[::-1]
+        if r.name in pending:
+            m2s, m2q = pending.pop(r.name)
+            yield r.name, seq, qual, m2s, m2q
+        else:
+            pending[r.name] = (seq, qual)
+
+
+def bam_to_single_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
+    """Single-end stranded pass-through (PassThroughSamCheck.stranded.se)."""
+    _, records = read_bam(path)
+    for r in records:
+        if r.flag & exclude_flags:
+            continue
+        seq, qual = r.seq, r.qual
+        if r.flag & FLAG_REVERSE:
+            seq = revcomp_bytes(seq.encode()).decode()
+            qual = qual[::-1]
+        yield r.name, seq, qual

@@ -1,0 +1,214 @@
+"""K-mer counting as device sort + run-length-encode over sorted tables.
+
+TPU-native replacement for the reference's Jellyfish counting engine
+(reference: src/modifiedJellyfish/include/jellyfish/large_hash_array.hpp
+lock-free CAS hash + hash_counter.hpp cooperative resize).  TPUs have no
+atomics, so instead of open addressing we use the hardware-friendly
+formulation: pack -> canonicalize -> sort -> segment-reduce.  A sample's
+count table is a sorted unique ``(kmer, count)`` pair of arrays; batches
+are RLE'd on device and folded in LSM fashion.  This is deterministic and
+independent of batch/shard boundaries, which the VCF-parity requirement
+needs (SURVEY.md section 7.3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import codec
+
+# All-ones sentinel sorts last; valid for k <= 31 (k=32 poly-T would alias).
+SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@jax.jit
+def rle_sum(sorted_keys: jax.Array, values: jax.Array):
+    """Run-length sum of `values` over equal runs of `sorted_keys`.
+
+    Returns (unique_keys, sums, n_unique): unique keys compacted to the
+    front, padded with SENTINEL; positions >= n_unique are padding.
+    Sentinel keys in the input are excluded from n_unique but their run
+    still appears (callers slice by n_unique).
+    """
+    n = sorted_keys.shape[0]
+    head = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
+    )
+    seg = jnp.cumsum(head) - 1
+    sums = jnp.zeros((n,), dtype=values.dtype).at[seg].add(values)
+    uniq = jnp.full((n,), SENTINEL, dtype=jnp.uint64).at[seg].set(sorted_keys)
+    n_unique = jnp.sum(head & (sorted_keys != SENTINEL))
+    return uniq, sums, n_unique
+
+
+@jax.jit
+def count_batch(kmers: jax.Array, valid: jax.Array):
+    """Sort+RLE one flat batch of k-mers -> (unique_keys, counts, n_unique)."""
+    keys = jnp.where(valid, kmers, SENTINEL).ravel()
+    s = jnp.sort(keys)
+    ones = jnp.ones(s.shape, dtype=jnp.int64)
+    return rle_sum(s, ones)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_reads_batch(ascii_reads: jax.Array, k: int):
+    """ASCII read batch (B, L) -> canonical-kmer RLE counts.
+
+    The fused hot path of Jellyfish `count -C` (count_main.cc): encode,
+    window, canonicalize, sort, segment-reduce.  Padding bytes / N map to
+    invalid windows.
+    """
+    codes = codec.encode_bases(ascii_reads)
+    kmers, valid = codec.pack_kmers(codes, k)
+    canon = codec.canonical_kmers(kmers, k)
+    return count_batch(canon, valid)
+
+
+@jax.jit
+def merge_sorted(a_keys, a_counts, b_keys, b_counts):
+    """Merge two sorted unique (keys, counts) runs -> sorted RLE result."""
+    keys = jnp.concatenate([a_keys, b_keys])
+    cnts = jnp.concatenate([a_counts, b_counts])
+    order = jnp.argsort(keys)
+    return rle_sum(keys[order], cnts[order])
+
+
+class KmerTable:
+    """A sample's k-mer count table: host-resident sorted unique arrays.
+
+    Equivalent role to a `.Jhash` file (reference: RunJellyForRUFUS.sh:29);
+    serialization is npz + text dump (`kmer \\t count`, lexicographic order —
+    numeric order of our packing IS lexicographic order).
+    """
+
+    def __init__(self, k: int, keys: np.ndarray, counts: np.ndarray):
+        self.k = int(k)
+        self.keys = np.asarray(keys, dtype=np.uint64)
+        self.counts = np.asarray(counts, dtype=np.int64)
+
+    def __len__(self):
+        return len(self.keys)
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def from_rle_chunks(cls, k: int, chunks, lower_count: int = 0):
+        """Fold per-batch RLE results (keys, counts, n) into one table.
+
+        `lower_count` mirrors jellyfish `count -L`: k-mers with final count
+        < L are dropped from the table (count_main.cc:320-330), which is
+        load-bearing for merge "present in exactly one sample" semantics.
+        """
+        keys_list, cnt_list = [], []
+        for keys, counts, n in chunks:
+            n = int(n)
+            keys_list.append(np.asarray(keys[:n], dtype=np.uint64))
+            cnt_list.append(np.asarray(counts[:n], dtype=np.int64))
+        if not keys_list:
+            return cls(k, np.empty(0, np.uint64), np.empty(0, np.int64))
+        keys = np.concatenate(keys_list)
+        cnts = np.concatenate(cnt_list)
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+        head = np.ones(len(keys), dtype=bool)
+        head[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(head)
+        sums = np.add.reduceat(cnts, starts) if len(cnts) else cnts
+        ukeys = keys[starts]
+        if lower_count > 1:
+            keep = sums >= lower_count
+            ukeys, sums = ukeys[keep], sums[keep]
+        return cls(k, ukeys, sums)
+
+    @classmethod
+    def from_strings(cls, k: int, seqs, lower_count: int = 0, canonical: bool = True):
+        """Count canonical k-mers of arbitrary host strings (testing/small)."""
+        counts: dict[int, int] = {}
+        for s in seqs:
+            su = s.upper()
+            for i in range(len(su) - k + 1):
+                w = su[i : i + k]
+                if any(c not in "ACGT" for c in w):
+                    continue
+                if canonical:
+                    w = codec.canonical_str(w)
+                v = codec.str_to_kmer(w)
+                counts[v] = counts.get(v, 0) + 1
+        items = sorted(counts.items())
+        if lower_count > 1:
+            items = [kv for kv in items if kv[1] >= lower_count]
+        keys = np.array([kv[0] for kv in items], dtype=np.uint64)
+        cnts = np.array([kv[1] for kv in items], dtype=np.int64)
+        return cls(k, keys, cnts)
+
+    # -- queries ------------------------------------------------------------
+
+    def query(self, kmers: np.ndarray) -> np.ndarray:
+        """Batched point lookup -> counts (0 when absent).
+
+        Replaces `jellyfish query` (CheckJellyHashList.sh:12); caller is
+        responsible for canonicalizing query k-mers.
+        """
+        kmers = np.asarray(kmers, dtype=np.uint64)
+        idx = np.searchsorted(self.keys, kmers)
+        idx_c = np.minimum(idx, max(len(self.keys) - 1, 0))
+        if len(self.keys) == 0:
+            return np.zeros(len(kmers), dtype=np.int64)
+        hit = self.keys[idx_c] == kmers
+        return np.where(hit, self.counts[idx_c], 0)
+
+    def query_strs(self, seqs) -> np.ndarray:
+        canon = [codec.canonical_str(s.upper()) for s in seqs]
+        return self.query(codec.strs_to_kmers(canon, self.k))
+
+    def histo(self, max_count: int = 10001) -> np.ndarray:
+        """Count histogram; bin i = #kmers with count i (i>=1), last bin
+        accumulates the tail — matches `jellyfish histo` defaults
+        (histo_main.cc: low=1, high=10000, increment=1)."""
+        c = np.minimum(self.counts, max_count)
+        return np.bincount(c, minlength=max_count + 1)
+
+    # -- serialization ------------------------------------------------------
+
+    def save(self, path: str):
+        np.savez(path, k=self.k, keys=self.keys, counts=self.counts)
+
+    @classmethod
+    def load(cls, path: str):
+        z = np.load(path)
+        return cls(int(z["k"]), z["keys"], z["counts"])
+
+    def dump_text(self, path: str):
+        with open(path, "w") as f:
+            for s, c in zip(codec.kmers_to_strs(self.keys, self.k), self.counts):
+                f.write(f"{s} {c}\n")
+
+
+def subtract_unique(tables: list[KmerTable], merge_min: int = 5) -> np.ndarray:
+    """K-mers present in EXACTLY ONE table with that table's count >= merge_min.
+
+    The reference's modified-merge semantics (merge_files.cc:147-153): the
+    k-way heap merge over sorted .Jhash streams becomes a vectorized
+    concat + sort + run-length test over sorted tables.  Returns the sorted
+    canonical k-mer keys (counts are re-pulled from the subject by the
+    caller, mirroring CheckJellyHashList.sh:12).
+    """
+    if not tables:
+        return np.empty(0, np.uint64)
+    keys = np.concatenate([t.keys for t in tables])
+    cnts = np.concatenate([t.counts for t in tables])
+    order = np.argsort(keys, kind="stable")
+    keys, cnts = keys[order], cnts[order]
+    head = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        head[1:] = keys[1:] != keys[:-1]
+    tail = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        tail[:-1] = keys[1:] != keys[:-1]
+    singleton = head & tail
+    keep = singleton & (cnts >= merge_min)
+    return keys[keep]

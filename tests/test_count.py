@@ -1,0 +1,95 @@
+import numpy as np
+import jax.numpy as jnp
+
+from rufus_tpu.ops import codec, count
+
+
+def _ascii_batch(seqs, pad_to=None):
+    L = pad_to or max(len(s) for s in seqs)
+    out = np.full((len(seqs), L), ord("N"), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+    return jnp.asarray(out)
+
+
+def _brute_counts(seqs, k):
+    from collections import Counter
+
+    c = Counter()
+    for s in seqs:
+        for i in range(len(s) - k + 1):
+            w = s[i : i + k]
+            if set(w) <= set("ACGT"):
+                c[codec.canonical_str(w)] += 1
+    return dict(c)
+
+
+def test_count_reads_batch_matches_brute():
+    rng = np.random.default_rng(7)
+    k = 11
+    seqs = ["".join(rng.choice(list("ACGTN"), rng.integers(20, 40), p=[0.24] * 4 + [0.04])) for _ in range(50)]
+    keys, counts, n = count.count_reads_batch(_ascii_batch(seqs), k)
+    n = int(n)
+    got = {codec.kmer_to_str(int(kk), k): int(cc) for kk, cc in zip(np.asarray(keys[:n]), np.asarray(counts[:n]))}
+    assert got == _brute_counts(seqs, k)
+
+
+def test_table_from_chunks_and_lower_count():
+    k = 7
+    seqs1 = ["ACGTACGTACGT" * 3]
+    seqs2 = ["ACGTACGTACGT" * 2, "TTTTTTTTT"]
+    chunks = [count.count_reads_batch(_ascii_batch(seqs1), k),
+              count.count_reads_batch(_ascii_batch(seqs2), k)]
+    t = count.KmerTable.from_rle_chunks(k, chunks)
+    brute = _brute_counts(seqs1 + seqs2, k)
+    got = dict(zip(codec.kmers_to_strs(t.keys, k), t.counts.tolist()))
+    assert got == brute
+    # lower_count floor drops rare k-mers (jellyfish -L semantics)
+    t2 = count.KmerTable.from_rle_chunks(k, chunks, lower_count=5)
+    got2 = dict(zip(codec.kmers_to_strs(t2.keys, k), t2.counts.tolist()))
+    assert got2 == {s: c for s, c in brute.items() if c >= 5}
+
+
+def test_query_and_histo():
+    k = 5
+    t = count.KmerTable.from_strings(k, ["AAAAACCCCCAAAAA"])
+    q = t.query_strs(["AAAAA", "CCCCC", "GGGGG", "TTTTT"])
+    # AAAAA x2 fwd; TTTTT canonical==AAAAA so same count; GGGGG canonical==CCCCC
+    assert q[0] == 2 and q[3] == 2
+    assert q[1] == q[2] == 1
+    h = t.histo()
+    assert h[2] >= 1
+
+
+def test_merge_sorted_device():
+    k = 9
+    a = count.KmerTable.from_strings(k, ["ACGTACGTACGTACG"])
+    b = count.KmerTable.from_strings(k, ["ACGTACGTACGTACG", "CCCCCCCCCC"])
+    pad = count.SENTINEL
+    ak = jnp.asarray(np.concatenate([a.keys, [pad] * 4]))
+    ac = jnp.asarray(np.concatenate([a.counts, [0] * 4]))
+    bk = jnp.asarray(b.keys)
+    bc = jnp.asarray(b.counts)
+    keys, sums, n = count.merge_sorted(ak, ac, bk, bc)
+    n = int(n)
+    got = dict(zip(codec.kmers_to_strs(np.asarray(keys[:n]), k), np.asarray(sums[:n]).tolist()))
+    brute = _brute_counts(["ACGTACGTACGTACG"] * 2 + ["CCCCCCCCCC"], k)
+    assert got == brute
+
+
+def test_subtract_unique_semantics():
+    k = 5
+    # table A only: AAACA (count 6 -> kept), AAACC (count 4 -> dropped by >=5)
+    # in both A and B: AAACG -> dropped (not unique)
+    ta = count.KmerTable(k, np.sort(np.array([codec.str_to_kmer(s) for s in ["AAACA", "AAACC", "AAACG"]], dtype=np.uint64)),
+                         np.array([6, 4, 9]))
+    # fix counts to match sorted key order
+    order = {codec.kmer_to_str(int(x), k): i for i, x in enumerate(ta.keys)}
+    cnts = np.zeros(3, np.int64)
+    cnts[order["AAACA"]] = 6
+    cnts[order["AAACC"]] = 4
+    cnts[order["AAACG"]] = 9
+    ta.counts = cnts
+    tb = count.KmerTable(k, np.array([codec.str_to_kmer("AAACG")], dtype=np.uint64), np.array([3]))
+    out = count.subtract_unique([ta, tb], merge_min=5)
+    assert codec.kmers_to_strs(out, k) == ["AAACA"]

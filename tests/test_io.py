@@ -1,0 +1,105 @@
+import os
+
+import numpy as np
+import pytest
+
+from rufus_tpu.io import bam, fastq, fasta, hashlist
+
+TESTRUN = "/root/reference/testRun"
+REF_FA = "/root/reference/resources/references/small_test_human_reference_v37_decoys.fa"
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(os.path.join(TESTRUN, "Child.bam")), reason="testRun data absent"
+)
+
+
+@needs_data
+def test_read_bam_child():
+    refs, records = bam.read_bam(os.path.join(TESTRUN, "Child.bam"))
+    recs = list(records)
+    assert len(refs) >= 1
+    assert len(recs) > 100
+    for r in recs[:50]:
+        assert set(r.seq) <= set("ACGTN=MRSVWYHKDB")
+        assert len(r.seq) == len(r.qual) or r.qual == "*"
+        assert 0 <= r.flag < 1 << 12
+
+
+@needs_data
+def test_bam_to_paired_matches_raw_fastqs():
+    """Decoded+un-revcomped pairs must equal the raw sequencing fastq pairs.
+
+    testRun/Child.mate{1,2}.fastq are the raw input reads (the fastq-direct
+    path input, runTest.fastq.sh); every pair our stranded splitter emits
+    from Child.bam must byte-match the corresponding raw pair as a set
+    (mate1/mate2 assignment is stream-order-of-appearance, reference:
+    PassThroughSamCheck.stranded.cpp:197-279, so sides may swap)."""
+    pairs = list(bam.bam_to_paired_fastq(os.path.join(TESTRUN, "Child.bam")))
+    assert len(pairs) > 1000
+    ours = {n: {(s1, q1), (s2, q2)} for n, s1, q1, s2, q2 in pairs}
+    g1 = {n: (s, q) for n, s, q in fastq.read_fastq(os.path.join(TESTRUN, "Child.mate1.fastq"))}
+    g2 = {n: (s, q) for n, s, q in fastq.read_fastq(os.path.join(TESTRUN, "Child.mate2.fastq"))}
+    assert set(ours) <= set(g1)
+    bad = [n for n in ours if ours[n] != {g1[n], g2[n]}]
+    assert not bad, f"{len(bad)} pairs mismatch raw fastq, e.g. {bad[:3]}"
+
+
+@needs_data
+def test_bwa_index_reconstruction(tmp_path):
+    """The test reference ships only as a BWA index; reconstruct and check
+    against perfectly-aligned BAM reads (coordinate-translated to the slice)."""
+    from rufus_tpu.io import bwaindex
+
+    contigs = bwaindex.load_pac_reference(REF_FA)
+    assert set(contigs) == {"5:177630000", "5:177660000"}
+    assert len(contigs["5:177630000"]) == 3285261
+    refs, recs = bam.read_bam(os.path.join(TESTRUN, "Child.bam"))
+    slice_start = 177630000 - 1
+    ok = tot = 0
+    arr = contigs["5:177630000"]
+    for r in recs:
+        if r.flag & 0x4 or refs[r.ref_id][0] != "5":
+            continue
+        if r.cigar_string() not in ("150M", "151M"):
+            continue
+        p = r.pos - slice_start
+        if p < 0 or p + len(r.seq) > len(arr):
+            continue
+        sub = arr[p : p + len(r.seq)].tobytes().decode()
+        tot += 1
+        if sum(1 for a, b in zip(sub, r.seq) if a != b) <= 5:
+            ok += 1
+    assert tot > 3000 and ok / tot > 0.95
+
+    # FASTA writer round-trips through FastaReference
+    p = str(tmp_path / "ref.fa")
+    bwaindex.write_fasta(p, {"c1": np.frombuffer(b"ACGTN" * 30, np.uint8)})
+    fr = fasta.FastaReference(p)
+    assert fr.get("c1", 0, 10) == "ACGTNACGTN"
+
+
+def test_fastq_roundtrip(tmp_path):
+    p = str(tmp_path / "x.fastq")
+    recs = [("r1", "ACGT", "IIII"), ("r2 extra", "GGTT", "!!II")]
+    fastq.write_fastq(p, recs)
+    back = list(fastq.read_fastq(p))
+    assert back == recs
+
+
+def test_fastqd_roundtrip(tmp_path):
+    p = str(tmp_path / "x.fastqd")
+    recs = [fastq.FastqdRecord("n1", "ACGT", "IIII", "FFRR", [1, 2, 3, 4])]
+    fastq.write_fastqd(p, recs)
+    back = list(fastq.read_fastqd(p))
+    assert back[0] == recs[0]
+
+
+def test_hashlist_roundtrip(tmp_path):
+    p = str(tmp_path / "h.HashList")
+    kmers = np.sort(np.array([5, 9, 1002], dtype=np.uint64))
+    counts = np.array([7, 8, 9])
+    hashlist.write_hashlist(p, kmers, counts, 25)
+    strs, cnts = hashlist.read_hashlist(p)
+    assert cnts == [7, 8, 9]
+    keys = hashlist.hashlist_keys(p, 25, canonical=False)
+    assert np.array_equal(keys, kmers)
