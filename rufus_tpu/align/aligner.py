@@ -1,0 +1,414 @@
+"""Seed-and-extend local aligner with BWA-mem-like scoring.
+
+Replaces `bwa mem` for (a) mutant-read alignment feeding assembly
+(runRufus.sh:1000-1001), (b) contig alignment feeding interpret
+(Overlap.shorter.sh:209), (c) MOB-element alignment (:225).
+
+Pipeline: sorted-array seed index over the reference (the same TPU-native
+sorted-table idiom as the k-mer engine) -> diagonal voting -> banded
+Smith-Waterman with affine gaps (match 1, mismatch -4, open 6, extend 1,
+clip 5 — bwa-mem defaults) -> CIGAR via traceback, soft clips, split
+(supplementary) alignments for contig SV evidence, bwa-like MAPQ.
+
+The DP inner loop is numpy row-vectorized host code here; `sw_kernel`
+is the seam a Pallas batched version plugs into (same interface).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import codec
+
+MATCH, MISMATCH = 1, -4
+GAP_OPEN, GAP_EXT = 6, 1
+CLIP_PEN = 5
+
+_LUT = np.full(256, 255, dtype=np.uint8)
+for _b, _c in zip(b"ACGT", range(4)):
+    _LUT[_b] = _c
+    _LUT[_b + 32] = _c
+
+
+def encode(seq_bytes: np.ndarray) -> np.ndarray:
+    return _LUT[seq_bytes]
+
+
+@dataclass
+class Alignment:
+    qname: str
+    flag: int
+    ref_name: str
+    pos: int  # 0-based leftmost ref position
+    mapq: int
+    cigar: list[tuple[int, str]]
+    seq: str
+    qual: str
+    score: int = 0
+    ref_id: int = -1
+    nm: int = 0
+    # split-read bookkeeping
+    is_supplementary: bool = False
+
+    def cigar_string(self) -> str:
+        if not self.cigar:
+            return "*"
+        return "".join(f"{n}{op}" for n, op in self.cigar)
+
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & 0x4)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & 0x10)
+
+    def ref_span(self) -> int:
+        return sum(n for n, op in self.cigar if op in "MDN=X")
+
+    def query_start(self) -> int:
+        """Length of leading soft/hard clip."""
+        if self.cigar and self.cigar[0][1] in "SH":
+            return self.cigar[0][0]
+        return 0
+
+    def query_aligned_len(self) -> int:
+        return sum(n for n, op in self.cigar if op in "MI=X")
+
+
+class RefIndex:
+    """Sorted seed index: (packed seed, position) arrays over all contigs."""
+
+    def __init__(self, contigs: dict[str, np.ndarray], seed_len: int = 19,
+                 max_occ: int = 64):
+        self.seed_len = seed_len
+        self.max_occ = max_occ
+        self.names = list(contigs)
+        self.starts = {}
+        self.lengths = {n: len(a) for n, a in contigs.items()}
+        self.contigs = contigs
+        parts = []
+        off = 0
+        for n in self.names:
+            self.starts[n] = off
+            parts.append(contigs[n])
+            off += len(contigs[n])
+            # separator run of N so windows never span contigs
+            parts.append(np.full(seed_len, ord("N"), np.uint8))
+            off += seed_len
+        self.genome = np.concatenate(parts) if parts else np.empty(0, np.uint8)
+        self.total = off
+        codes = encode(self.genome)
+        n_win = len(codes) - seed_len + 1
+        if n_win <= 0:
+            self.seed_keys = np.empty(0, np.uint64)
+            self.seed_pos = np.empty(0, np.uint32)
+            return
+        kmers, valid = _pack_host(codes, seed_len)
+        pos = np.nonzero(valid)[0]
+        keys = kmers[pos]
+        order = np.argsort(keys, kind="stable")
+        self.seed_keys = keys[order]
+        self.seed_pos = pos[order].astype(np.uint32)
+
+    def locate(self, name: str, gpos: int) -> tuple[str, int] | None:
+        """Global position -> (contig, local pos)."""
+        for n in self.names:
+            s = self.starts[n]
+            if s <= gpos < s + self.lengths[n]:
+                return n, gpos - s
+        return None
+
+    def lookup(self, kmers: np.ndarray):
+        lo = np.searchsorted(self.seed_keys, kmers, side="left")
+        hi = np.searchsorted(self.seed_keys, kmers, side="right")
+        return lo, hi
+
+
+def _pack_host(codes: np.ndarray, k: int):
+    """Host windowed packing (numpy mirror of ops.codec.pack_kmers)."""
+    L = len(codes)
+    W = L - k + 1
+    acc = np.zeros(W, dtype=np.uint64)
+    bad = np.zeros(W, dtype=bool)
+    for j in range(k):
+        c = codes[j : j + W]
+        bad |= c == 255
+        acc = (acc << np.uint64(2)) | np.where(c == 255, 0, c).astype(np.uint64)
+    return acc, ~bad
+
+
+def sw_kernel(q: np.ndarray, r: np.ndarray):
+    """Local affine-gap DP: best local score + full H matrix for traceback.
+
+    q, r: 2-bit codes (255 = N, never matches). One numpy-vectorized row per
+    query base; the horizontal-gap scan uses the closed form
+    E[j] = max_{j'<j}(H[j'] + ext*j') - open - ext*j (chaining horizontal
+    gaps is never better than one longer gap, so sources need not include
+    E-derived cells). This is the host mirror of the batched device kernel.
+    """
+    n, m = len(q), len(r)
+    H = np.zeros((n + 1, m + 1), dtype=np.int32)
+    best = (0, 0, 0)
+    match_all = np.where(
+        (q[:, None] == r[None, :]) & (q[:, None] != 255) & (r[None, :] != 255),
+        MATCH, MISMATCH).astype(np.int32)
+    NEG = -(10 ** 6)
+    F = np.full(m + 1, NEG, dtype=np.int32)
+    j_idx = np.arange(m + 1, dtype=np.int32) * GAP_EXT
+    for i in range(1, n + 1):
+        prev = H[i - 1]
+        F = np.maximum(F - GAP_EXT, prev - GAP_OPEN - GAP_EXT)
+        row = np.zeros(m + 1, dtype=np.int32)
+        cand = np.maximum(np.maximum(prev[:-1] + match_all[i - 1], F[1:]), 0)
+        row[1:] = cand
+        # E via prefix max of (row[j'] + ext*j') over j' < j
+        s = row + j_idx
+        pref = np.maximum.accumulate(s[:-1])
+        E = pref - GAP_OPEN - GAP_EXT - j_idx[:-1]
+        row[1:] = np.maximum(row[1:], E)
+        H[i] = row
+        j_best = int(np.argmax(row))
+        if row[j_best] > best[0]:
+            best = (int(row[j_best]), i, j_best)
+    return best, H
+
+
+def _traceback(q, r, H, bi, bj):
+    """Recover CIGAR from H by local re-derivation (scores re-computed)."""
+    i, j = bi, bj
+    ops = []
+    nm = 0
+    while i > 0 and j > 0 and H[i][j] > 0:
+        h = H[i][j]
+        sub = MATCH if (q[i - 1] == r[j - 1] and q[i - 1] != 255 and r[j - 1] != 255) else MISMATCH
+        if h == H[i - 1][j - 1] + sub:
+            ops.append("M")
+            if sub == MISMATCH:
+                nm += 1
+            i -= 1
+            j -= 1
+            continue
+        # horizontal run (D: consume ref); bounded gap search
+        found = False
+        for g in range(1, min(j, 128) + 1):
+            if h == H[i][j - g] - GAP_OPEN - GAP_EXT * g:
+                ops.extend("D" * g)
+                nm += g
+                j -= g
+                found = True
+                break
+        if found:
+            continue
+        for g in range(1, min(i, 128) + 1):
+            if h == H[i - g][j] - GAP_OPEN - GAP_EXT * g:
+                ops.extend("I" * g)
+                nm += g
+                i -= g
+                found = True
+                break
+        if not found:
+            break
+    ops.reverse()
+    return i, j, ops, nm
+
+
+def _compress(ops: list[str]) -> list[tuple[int, str]]:
+    out = []
+    for op in ops:
+        if out and out[-1][1] == op:
+            out[-1] = (out[-1][0] + 1, op)
+        else:
+            out.append((1, op))
+    return out
+
+
+class Aligner:
+    def __init__(self, ref: RefIndex):
+        self.ref = ref
+
+    def _candidates(self, codes: np.ndarray, max_cands: int = 4):
+        """Seed -> diagonal clusters -> candidate (gstart, count) windows."""
+        k = self.ref.seed_len
+        if len(codes) < k:
+            return []
+        kmers, valid = _pack_host(codes, k)
+        qpos = np.nonzero(valid)[0]
+        kmers = kmers[qpos]
+        if len(kmers) == 0:
+            return []
+        lo, hi = self.ref.lookup(kmers)
+        occ = hi - lo
+        use = occ <= self.ref.max_occ
+        diags = []
+        for ql, l, h, u in zip(qpos, lo, hi, use):
+            if not u or h <= l:
+                continue
+            diags.append(self.ref.seed_pos[l:h].astype(np.int64) - int(ql))
+        if not diags:
+            return []
+        d = np.sort(np.concatenate(diags))
+        # cluster diagonals within +/-16
+        clusters = []
+        start = 0
+        for i in range(1, len(d) + 1):
+            if i == len(d) or d[i] - d[i - 1] > 16:
+                clusters.append((int(np.median(d[start:i])), i - start))
+                start = i
+        clusters.sort(key=lambda c: -c[1])
+        return clusters[:max_cands]
+
+    def _extend(self, seq: str, diag: int, pad: int = 64):
+        codes = encode(np.frombuffer(seq.encode(), np.uint8))
+        L = len(codes)
+        g0 = max(0, diag - pad)
+        g1 = min(self.ref.total, diag + L + pad)
+        if g1 <= g0:
+            return None
+        window = encode(self.ref.genome[g0:g1])
+        best, H = sw_kernel(codes, window)
+        score, bi, bj = best
+        if score <= 0:
+            return None
+        qi, rj, ops, nm = _traceback(codes, window, H, bi, bj)
+        # bwa-mem clip preference: extend (ungapped) to each read end unless
+        # the extension scores worse than -CLIP_PEN (bwa-mem zdrop/pen_clip5)
+        head_ops, head_nm, d = self._clip_extend(codes, window, qi, rj, -1)
+        qi -= d
+        rj -= d
+        ops = head_ops + ops
+        nm += head_nm
+        tail_ops, tail_nm, d2 = self._clip_extend(codes, window, bi, bj, +1)
+        ops = ops + tail_ops
+        nm += tail_nm
+        bi += d2
+        bj += d2
+        cigar = []
+        if qi > 0:
+            cigar.append((qi, "S"))
+        cigar.extend(_compress(ops))
+        tail = L - bi
+        if tail > 0:
+            cigar.append((tail, "S"))
+        gstart = g0 + rj
+        n_ext = len(head_ops) + len(tail_ops)
+        n_mm = head_nm + tail_nm
+        score += (n_ext - n_mm) * MATCH + n_mm * MISMATCH
+        return score, gstart, cigar, nm, qi, bi
+
+    def _clip_extend(self, codes, window, q_edge, r_edge, direction):
+        """Ungapped extension from an alignment edge to the read end.
+
+        direction -1 extends leftward from (q_edge, r_edge) exclusive;
+        +1 extends rightward from (q_edge, r_edge) inclusive-onward.
+        Returns (ops, n_mismatch, n_extended); empty if the full extension
+        scores below -CLIP_PEN or runs out of reference window.
+        """
+        L, M = len(codes), len(window)
+        if direction < 0:
+            n = q_edge
+            if n == 0 or r_edge - n < 0:
+                return [], 0, 0
+            qs = codes[q_edge - n : q_edge]
+            rs = window[r_edge - n : r_edge]
+        else:
+            n = L - q_edge
+            if n == 0 or r_edge + n > M:
+                return [], 0, 0
+            qs = codes[q_edge : q_edge + n]
+            rs = window[r_edge : r_edge + n]
+        mm = int(np.sum((qs != rs) | (qs == 255) | (rs == 255)))
+        delta = (n - mm) * MATCH + mm * MISMATCH
+        if delta <= -CLIP_PEN:
+            return [], 0, 0
+        return ["M"] * n, mm, n
+
+    def align_seq(self, name: str, seq: str, qual: str, max_cands: int = 4,
+                  min_score: int = 20, splits: bool = False):
+        """Best local alignment of seq (both strands) -> list[Alignment].
+
+        With splits=True, re-aligns long unaligned tails as supplementary
+        records (bwa mem -Y behavior needed by interpret's SV passes).
+        """
+        fwd = seq.upper()
+        rev = codec.revcomp_str(fwd)
+        results = []
+        for strand, s in ((0, fwd), (1, rev)):
+            codes = encode(np.frombuffer(s.encode(), np.uint8))
+            for diag, cnt in self._candidates(codes):
+                ext = self._extend(s, diag)
+                if ext is None:
+                    continue
+                score, gstart, cigar, nm, qs, qe = ext
+                results.append((score, strand, gstart, cigar, nm, qs, qe, s))
+        if not results:
+            return [Alignment(name, 0x4, "*", -1, 0, [], fwd, qual)]
+        results.sort(key=lambda x: (-x[0], x[2]))
+        best = results[0]
+        second = results[1][0] if len(results) > 1 else 0
+        sub = max(second, min_score - 1)
+        mapq = self._mapq(best[0], second, len(seq))
+        out = [self._to_alignment(name, qual, best, mapq, False)]
+        if splits:
+            out.extend(self._find_splits(name, qual, best, results, min_score))
+        return out
+
+    def _mapq(self, best: int, second: int, qlen: int) -> int:
+        if best <= second:
+            return 0
+        # bwa-like: scaled difference
+        frac = (best - second) / max(best, 1)
+        q = int(40.0 * frac + 0.499) + 20 if second > 0 else 60
+        return max(0, min(60, q))
+
+    def _to_alignment(self, name, qual, res, mapq, suppl):
+        score, strand, gstart, cigar, nm, qs, qe, s = res
+        loc = self.ref.locate_global(gstart)
+        flag = (0x10 if strand else 0) | (0x800 if suppl else 0)
+        q = qual if strand == 0 else qual[::-1]
+        contig, pos = loc
+        rid = self.ref.names.index(contig)
+        return Alignment(name, flag, contig, pos, mapq, cigar, s, q,
+                         score=score, ref_id=rid, nm=nm, is_supplementary=suppl)
+
+    def _find_splits(self, name, qual, best, results, min_score):
+        """Supplementary alignments covering query tails the primary missed."""
+        score, strand, gstart, cigar, nm, qs, qe, s = best
+        out = []
+        covered = (qs, qe)  # on the strand-oriented query
+        for res in results[1:]:
+            sc2, st2, g2, c2, nm2, q2s, q2e, s2 = res
+            if sc2 < min_score:
+                continue
+            # map to the primary's strand orientation for overlap check
+            L = len(s)
+            if st2 != strand:
+                a, b = L - q2e, L - q2s
+            else:
+                a, b = q2s, q2e
+            ov = max(0, min(covered[1], b) - max(covered[0], a))
+            if ov < 0.5 * (b - a):
+                out.append(self._to_alignment(name, qual, res, 0, True))
+                if len(out) >= 2:
+                    break
+        return out
+
+
+def _locate_global(self, gpos: int):
+    lo = 0
+    for n in self.names:
+        s = self.starts[n]
+        if s <= gpos < s + self.lengths[n]:
+            return n, gpos - s
+    # position falls in separator; clamp to nearest preceding contig end
+    prev = self.names[0]
+    for n in self.names:
+        if self.starts[n] > gpos:
+            break
+        prev = n
+    return prev, max(0, min(gpos - self.starts[prev], self.lengths[prev] - 1))
+
+
+RefIndex.locate_global = _locate_global

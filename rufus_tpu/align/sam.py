@@ -1,0 +1,90 @@
+"""Paired-end alignment driver + SAM text emission + samtools-sort order.
+
+Replaces `bwa mem ... | samblaster | samtools sort` (runRufus.sh:1000-1001)
+for the mutant-read BAM that feeds assembly, and `bwa mem -Y` for contigs
+(Overlap.shorter.sh:209). Only the record fields and ordering the
+downstream stages consume are guaranteed: name/flag/pos/mapq/cigar/seq/qual
+and (ref_id, pos) sort with unmapped-at-end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from .aligner import Aligner, Alignment
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_MATE1 = 0x40
+FLAG_MATE2 = 0x80
+
+
+def align_pairs(aligner: Aligner, pairs):
+    """pairs: iterable of (name, seq1, qual1, seq2, qual2) -> Alignment list.
+
+    Each mate aligned independently (bwa-mem does pairing rescue; our reads
+    are pre-filtered mutant pairs where independent alignment suffices —
+    revisit if pairing rescue shows up in parity gaps).
+    """
+    out = []
+    for name, s1, q1, s2, q2 in pairs:
+        a1 = aligner.align_seq(name, s1, q1)[0]
+        a2 = aligner.align_seq(name, s2, q2)[0]
+        f1 = a1.flag | FLAG_PAIRED | FLAG_MATE1
+        f2 = a2.flag | FLAG_PAIRED | FLAG_MATE2
+        if a2.is_unmapped:
+            f1 |= FLAG_MATE_UNMAPPED
+        elif a2.is_reverse:
+            f1 |= FLAG_MATE_REVERSE
+        if a1.is_unmapped:
+            f2 |= FLAG_MATE_UNMAPPED
+        elif a1.is_reverse:
+            f2 |= FLAG_MATE_REVERSE
+        if (not a1.is_unmapped and not a2.is_unmapped
+                and a1.ref_id == a2.ref_id and abs(a1.pos - a2.pos) < 2000
+                and a1.is_reverse != a2.is_reverse):
+            f1 |= FLAG_PROPER
+            f2 |= FLAG_PROPER
+        # unmapped mate inherits partner's position (bwa/samtools convention)
+        a1 = replace(a1, flag=f1)
+        a2 = replace(a2, flag=f2)
+        if a1.is_unmapped and not a2.is_unmapped:
+            a1 = replace(a1, ref_name=a2.ref_name, ref_id=a2.ref_id, pos=a2.pos)
+        if a2.is_unmapped and not a1.is_unmapped:
+            a2 = replace(a2, ref_name=a1.ref_name, ref_id=a1.ref_id, pos=a1.pos)
+        out.extend([a1, a2])
+    return out
+
+
+def sort_alignments(alns):
+    """samtools-sort coordinate order: (ref_id, pos), unmapped last; stable."""
+    mapped = [a for a in alns if not a.is_unmapped]
+    unmapped = [a for a in alns if a.is_unmapped]
+    mapped.sort(key=lambda a: (a.ref_id, a.pos))
+    return mapped + unmapped
+
+
+def to_sam_line(a: Alignment, rnext: str = "*", pnext: int = 0,
+                tlen: int = 0, tags: str = "") -> str:
+    rname = a.ref_name if not a.is_unmapped or a.ref_name != "*" else "*"
+    pos1 = a.pos + 1 if a.pos >= 0 else 0
+    cig = a.cigar_string() if not a.is_unmapped else "*"
+    fields = [a.qname, str(a.flag), rname, str(pos1), str(a.mapq), cig,
+              rnext, str(pnext), str(tlen), a.seq, a.qual]
+    line = "\t".join(fields)
+    if tags:
+        line += "\t" + tags
+    return line
+
+
+def write_sam(path: str, alns, ref_index):
+    with open(path, "w") as f:
+        f.write("@HD\tVN:1.6\tSO:coordinate\n")
+        for n in ref_index.names:
+            f.write(f"@SQ\tSN:{n}\tLN:{ref_index.lengths[n]}\n")
+        for a in alns:
+            f.write(to_sam_line(a, tags=f"NM:i:{a.nm}\tAS:i:{a.score}") + "\n")

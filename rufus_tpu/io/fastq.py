@@ -67,7 +67,7 @@ def write_fastqd(path: str, records):
         for r in records:
             f.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n{r.strands}\n")
             f.write(" ".join(str(d) for d in r.depths))
-            f.write(" \n")
+            f.write("\n")
 
 
 def batch_reads(seqs, quals=None, pad_to: int | None = None, bucket: int = 32):
