@@ -326,7 +326,7 @@ class Aligner:
         return ["M"] * n, mm, n
 
     def align_seq(self, name: str, seq: str, qual: str, max_cands: int = 4,
-                  min_score: int = 20, splits: bool = False):
+                  min_score: int = 30, splits: bool = False):
         """Best local alignment of seq (both strands) -> list[Alignment].
 
         With splits=True, re-aligns long unaligned tails as supplementary
@@ -343,6 +343,7 @@ class Aligner:
                     continue
                 score, gstart, cigar, nm, qs, qe = ext
                 results.append((score, strand, gstart, cigar, nm, qs, qe, s))
+        results = [r for r in results if r[0] >= min_score]
         if not results:
             return [Alignment(name, 0x4, "*", -1, 0, [], fwd, qual)]
         results.sort(key=lambda x: (-x[0], x[2]))
