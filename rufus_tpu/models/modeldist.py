@@ -39,9 +39,17 @@ import numpy as np
 
 
 def _norm(x, mu, sigma, skew, p):
-    """Skewed normal (ModelDist.cpp:31-37); x may be an array."""
+    """Skewed normal (ModelDist.cpp:31-37); x may be an array.
+
+    skew == 0 (always, in practice — the skew search never runs) makes the
+    pow term identically 0 for p > 0; short-circuit it, the general power
+    dominates the fit runtime otherwise."""
     x = np.asarray(x, dtype=np.float64)
-    sig = np.where(x < mu, sigma + np.power((mu - x) * skew, p), sigma)
+    if np.isscalar(skew) and skew == 0.0 and p > 0:
+        sig = np.broadcast_to(np.asarray(sigma, dtype=np.float64),
+                              np.broadcast_shapes(np.shape(x), np.shape(sigma)))
+    else:
+        sig = np.where(x < mu, sigma + np.power((mu - x) * skew, p), sigma)
     with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
         return (1.0 / np.sqrt(2 * PI * sig**2)) * np.exp(-((x - mu) ** 2) / (2 * sig**2))
 
@@ -172,9 +180,8 @@ def _test_model(SC, stdev, factor, skew, power, histo2, inflection, max_copy,
     # runs j=1..n_j, i.e. columns 1..n_j (skipping the last column n_j+1).
     ncols = dist.shape[1]
     with np.errstate(invalid="ignore", divide="ignore"):
-        for c in range(1, n_j + 1):
-            s = dist[:, c].sum()
-            dist[:, c] = dist[:, c] / s
+        col_sums = dist[:, 1 : n_j + 1].sum(axis=0)
+        dist[:, 1 : n_j + 1] = dist[:, 1 : n_j + 1] / col_sums[None, :]
         # prob[i][j] = dist[i][j] / sum(dist[i][1..n_j])
         tot = dist[:, 1 : n_j + 1].sum(axis=1)
         prob = np.zeros_like(dist)
@@ -183,21 +190,20 @@ def _test_model(SC, stdev, factor, skew, power, histo2, inflection, max_copy,
     def D(i, c):  # dist row for count i (rows start at count 1)
         return dist[int(i) - 1, c]
 
-    def P(i, c):
-        return prob[int(i) - 1, c]
-
     H = histo2.astype(np.float64)
-    RC = [0.0]
     with np.errstate(invalid="ignore", divide="ignore"):
         tSC = H[int(SC)] / D(SC, 2)
         het = (H[int(SC / 2)] - D(SC / 2, 2) * tSC) / D(SC / 2, 1)
-        RC.append(het if het > 0 else 0.0)
-        RC.append(H[int(SC)] / D(SC, 2))
-        a = 2
-        while a < size / SC:
-            RC.append(H[int(SC * a)] / D(SC * a, a + 1) * P(SC * a, a + 1))
-            a += 1
-    RC = np.array(RC)
+        # a = 2 .. while a < size/SC (same count as the n_j loop minus 1)
+        n_a = n_j - 1
+        a_vals = np.arange(2, 2 + max(0, n_a))
+        rows_a = (SC * a_vals).astype(np.int64)  # float->int truncation
+        RC = np.zeros(3 + max(0, n_a))
+        RC[1] = het if het > 0 else 0.0
+        RC[2] = H[int(SC)] / D(SC, 2)
+        if n_a > 0:
+            RC[3:] = (H[rows_a] / dist[rows_a - 1, a_vals + 1]
+                      * prob[rows_a - 1, a_vals + 1])
     # ModelSums[i] = sum_{j=1..n_j} dist[i][j] * RC[j]
     n_use = min(n_j + 1, len(RC))
     with np.errstate(invalid="ignore"):

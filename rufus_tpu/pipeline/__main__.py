@@ -1,0 +1,53 @@
+"""CLI: python -m rufus_tpu.pipeline -s subject.bam -c mom.bam -c dad.bam ...
+
+Mirrors runRufus.sh's flag surface (runRufus.sh:74-131).
+"""
+
+import argparse
+
+from .config import RufusConfig
+from .driver import RufusPipeline
+
+
+def main():
+    p = argparse.ArgumentParser(prog="rufus_tpu",
+                                description="TPU-native reference-free variant caller")
+    p.add_argument("-s", "--subject", required=True, help="subject BAM/FASTQ")
+    p.add_argument("-c", "--controls", action="append", default=[],
+                   help="control BAM (repeatable)")
+    p.add_argument("-r", "--ref", required=True,
+                   help="reference fasta (or BWA index prefix)")
+    p.add_argument("-k", type=int, default=25, help="k-mer size (<=31)")
+    p.add_argument("-t", "--threads", type=int, default=2)
+    p.add_argument("-m", "--min", type=int, default=None,
+                   help="fixed MutantMinCov override")
+    p.add_argument("-fq", "--filterMinQ", type=int, default=15)
+    p.add_argument("-fK", "--filterK", type=int, default=1)
+    p.add_argument("-L", "--maxAllele", type=int, default=1000)
+    p.add_argument("-pl", "--parLowK", type=int, default=2)
+    p.add_argument("-e", "--exclude", default="", help="exclude table (.npz)")
+    p.add_argument("-q1", "--fastqA", default="")
+    p.add_argument("-q2", "--fastqB", default="")
+    p.add_argument("--mob", default="", help="mobile element fasta")
+    p.add_argument("--refhash", default="", help="repeat reference table (.npz)")
+    p.add_argument("--exome", action="store_true")
+    p.add_argument("--mosaic", action="store_true")
+    p.add_argument("--speed", default="full", choices=["full", "veryfast"])
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--stop-after", default="", choices=["", "jhash", "hashlist", "filter"])
+    a = p.parse_args()
+    cfg = RufusConfig(
+        subject=a.subject, controls=a.controls, ref=a.ref, k=a.k,
+        threads=a.threads, workdir=a.workdir, min_cov=a.min,
+        filter_min_q=a.filterMinQ, filter_k_threshold=a.filterK,
+        max_allele_size=a.maxAllele, par_low_k=a.parLowK,
+        exclude_hash=a.exclude, fastq_a=a.fastqA, fastq_b=a.fastqB,
+        mob_fasta=a.mob, ref_hash=a.refhash, exome=a.exome, mosaic=a.mosaic,
+        assembly_speed=a.speed, stop_after=a.stop_after,
+    )
+    final = RufusPipeline(cfg).run()
+    print(final)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Typed pipeline configuration (replaces runRufus.sh's argbash parser,
+reference: runRufus.sh:135-366 with defaults at 27, 61-69, 424-435)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RufusConfig:
+    subject: str = ""  # subject BAM (or fastq pair via fastq_a/fastq_b)
+    controls: list = field(default_factory=list)
+    ref: str = ""  # reference fasta path (or BWA index prefix to reconstruct)
+    k: int = 25
+    threads: int = 2
+    workdir: str = "."
+    min_cov: int | None = None  # -m fixed MutantMinCov override
+    filter_min_q: int = 15  # -fq
+    filter_k_threshold: int = 1  # -fK
+    max_allele_size: int = 1000  # -L
+    par_low_k: int = 2  # -pl parent jellyfish -L
+    subject_low_k: int = 2
+    max_hash_depth_seed: int = 1200  # runRufus.sh:27
+    exome: bool = False
+    mosaic: bool = False  # include Mosaic rows in FINAL.vcf
+    single_end: bool = False
+    fastq_a: str = ""
+    fastq_b: str = ""
+    exclude_hash: str = ""  # -e exclude Jhash table
+    ref_hash: str = ""  # repeat reference hash for -e RepRefHash
+    mob_fasta: str = ""  # mobile-element fasta (MOB pass)
+    batch_size: int = 2048
+    read_pad: int = 160
+    merge_min: int = 5  # modified-merge count floor (merge_files.cc:149)
+    genotype_max_cov: int = 100000  # Overlap.shorter.sh:20
+    assembly_speed: str = "full"  # or "veryfast"
+    stop_after: str = ""  # "jhash" | "hashlist" | "filter" (StJ/StH/StF)
+
+    @property
+    def subject_stub(self) -> str:
+        return os.path.basename(self.subject) + ".generator"
+
+    @property
+    def name_stub(self) -> str:
+        return self.subject_stub + ".V2"
+
+    def control_stub(self, path: str) -> str:
+        return os.path.basename(path) + ".generator"
+
+    def wpath(self, *parts) -> str:
+        return os.path.join(self.workdir, *parts)

@@ -1,0 +1,459 @@
+"""The RUFUS pipeline: count -> model -> subtract -> filter -> assemble ->
+align -> interpret -> polish (runRufus.sh + Overlap.shorter.sh equivalent).
+
+Every stage writes its outputs into the workdir using the reference's file
+naming and is skipped when the output already exists (the reference's
+resume semantics, runRufus.sh:844-951), so stages can be re-run alone.
+Device work (counting, filtering) is batched through the jit kernels in
+ops/; host work (assembly, interpret) mirrors the reference semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import RufusConfig
+from .polish import polish_vcf
+from ..align import Aligner, RefIndex
+from ..align import sam as rsam
+from ..assembly import annotate
+from ..assembly.overlap_sam import overlap_sam
+from ..assembly.overlap_rounds import overlap_round, overlap_region
+from ..io import bam, bwaindex, fasta, fastq, hashlist as hio
+from ..models import modeldist
+from ..ops import codec, count
+from ..interpret import run_interpret
+from ..interpret.driver import load_mob_sam
+
+
+@dataclass
+class SamLikeRec:
+    flag: int
+    seq: str
+    qual: str
+
+
+class RufusPipeline:
+    def __init__(self, cfg: RufusConfig):
+        self.cfg = cfg
+        os.makedirs(cfg.workdir, exist_ok=True)
+        os.makedirs(cfg.wpath("Intermediates"), exist_ok=True)
+        os.makedirs(cfg.wpath("TempOverlap"), exist_ok=True)
+        self._ref_contigs = None
+        self._ref_index = None
+        self._log = print
+
+    # -- reference handling -------------------------------------------------
+
+    def ref_contigs(self):
+        if self._ref_contigs is None:
+            path = self.cfg.ref
+            if os.path.exists(path):
+                fr = fasta.FastaReference(path)
+                self._ref_contigs = {n: fr.seqs[n] for n in fr.names}
+            elif os.path.exists(path + ".pac"):
+                self._ref_contigs = bwaindex.load_pac_reference(path)
+            else:
+                raise FileNotFoundError(f"reference not found: {path}")
+        return self._ref_contigs
+
+    def ref_index(self):
+        if self._ref_index is None:
+            self._ref_index = RefIndex(self.ref_contigs())
+        return self._ref_index
+
+    # -- stage 1: count -----------------------------------------------------
+
+    def _read_stream(self, path: str):
+        if path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+            for _, s, _ in fastq.read_fastq(path):
+                yield s
+        else:
+            for _, s, _ in bam.bam_to_fastq(path):
+                yield s
+
+    def count_sample(self, path: str, stub: str, lower: int):
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        table_path = self.cfg.wpath(stub + ".table.npz")
+        histo_path = self.cfg.wpath(stub + ".Jhash.histo")
+        if os.path.exists(table_path) and os.path.exists(histo_path):
+            self._log(f"skipping count for {stub}")
+            return count.KmerTable.load(table_path)
+        chunks = []
+        batch: list[str] = []
+
+        def flush():
+            if not batch:
+                return
+            r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
+            keys, counts, n = count.count_reads_batch(jnp.asarray(r), cfg.k)
+            chunks.append((np.asarray(keys), np.asarray(counts), int(n)))
+            batch.clear()
+
+        for seq in self._read_stream(path):
+            batch.append(seq)
+            if len(batch) >= cfg.batch_size:
+                flush()
+        flush()
+        table = count.KmerTable.from_rle_chunks(cfg.k, chunks, lower_count=lower)
+        if len(table) == 0:
+            raise RuntimeError(f"counting produced no kmers for {path}")
+        table.save(table_path)
+        modeldist.write_histo(histo_path, table.histo())
+        return table
+
+    def stage_count(self):
+        cfg = self.cfg
+        tables = {"subject": self.count_sample(cfg.subject, cfg.subject_stub,
+                                               cfg.subject_low_k)}
+        tables["controls"] = [
+            self.count_sample(c, cfg.control_stub(c), cfg.par_low_k)
+            for c in cfg.controls
+        ]
+        return tables
+
+    # -- stage 2: model -----------------------------------------------------
+
+    def stage_model(self):
+        cfg = self.cfg
+        histo_path = cfg.wpath(cfg.subject_stub + ".Jhash.histo")
+        model_path = histo_path + ".7.7.model"
+        if not os.path.exists(model_path):
+            fit = modeldist.fit_model(histo_path, cfg.k, 150)
+            modeldist.write_outputs(fit, histo_path)
+        with open(model_path) as f:
+            lines = f.read().split("\n")
+        kcutoff = int(lines[1])
+        raw_sc = int(lines[3])
+        if cfg.exome:
+            mutant_min_cov = cfg.min_cov if cfg.min_cov else 5
+            max_hash_depth = 100000000
+        elif cfg.min_cov:
+            mutant_min_cov = cfg.min_cov
+            max_hash_depth = cfg.max_hash_depth_seed
+        else:
+            mutant_min_cov = kcutoff
+            max_hash_depth = raw_sc * 5
+        if mutant_min_cov < 2:
+            raise RuntimeError(
+                f"model couldn't pick a sensible lower cutoff ({mutant_min_cov})")
+        return mutant_min_cov, max_hash_depth
+
+    # -- stage 3: subtract --------------------------------------------------
+
+    def stage_hashlist(self, tables, mutant_min_cov: int, max_hash_depth: int):
+        cfg = self.cfg
+        hl_path = cfg.wpath(f"{cfg.subject_stub}.k{cfg.k}_c{mutant_min_cov}.HashList")
+        if os.path.exists(hl_path):
+            self._log("skipping hashlist")
+            return hl_path
+        mut = count.subtract_unique([tables["subject"]] + tables["controls"],
+                                    merge_min=cfg.merge_min)
+        if cfg.exclude_hash and os.path.exists(cfg.exclude_hash):
+            ex = count.KmerTable.load(cfg.exclude_hash)
+            keep = ex.query(mut) == 0
+            mut = mut[keep]
+        subj = tables["subject"].query(mut)
+        keep = (subj >= mutant_min_cov) & (subj <= max_hash_depth)
+        hio.write_hashlist(hl_path, mut[keep], subj[keep], cfg.k)
+        if not keep.any():
+            raise RuntimeError("empty HashList: no subject-unique kmers")
+        return hl_path
+
+    # -- stage 4: filter ----------------------------------------------------
+
+    def stage_filter(self, hl_path: str):
+        import jax.numpy as jnp
+        from ..ops import filter as rfilter
+
+        cfg = self.cfg
+        m1_path = cfg.wpath(cfg.subject_stub + ".Mutations.Mate1.fastq")
+        m2_path = cfg.wpath(cfg.subject_stub + ".Mutations.Mate2.fastq")
+        if os.path.exists(m1_path):
+            self._log("skipping filter")
+            return m1_path, m2_path
+        keys = jnp.asarray(hio.hashlist_keys(hl_path, cfg.k))
+        if cfg.fastq_a:
+            pair_stream = self._fastq_pair_stream(cfg.fastq_a, cfg.fastq_b)
+        else:
+            pair_stream = bam.bam_to_paired_fastq(cfg.subject)
+        kept = 0
+        with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
+            buf = []
+            for rec in pair_stream:
+                buf.append(rec)
+                if len(buf) >= cfg.batch_size:
+                    kept += self._filter_batch(buf, keys, f1, f2)
+                    buf = []
+            if buf:
+                kept += self._filter_batch(buf, keys, f1, f2)
+        if kept == 0:
+            raise RuntimeError("filter kept no reads")
+        self._log(f"filter kept {kept} pairs")
+        return m1_path, m2_path
+
+    def _fastq_pair_stream(self, a, b):
+        for (n1, s1, q1), (_, s2, q2) in zip(fastq.read_fastq(a), fastq.read_fastq(b)):
+            yield n1.split()[0], s1, q1, s2, q2
+
+    def _filter_batch(self, buf, keys, f1, f2) -> int:
+        import jax.numpy as jnp
+        from ..ops import filter as rfilter
+
+        cfg = self.cfg
+        r1, q1, l1 = fastq.batch_reads([p[1] for p in buf], [p[2] for p in buf],
+                                       pad_to=cfg.read_pad)
+        r2, q2, l2 = fastq.batch_reads([p[3] for p in buf], [p[4] for p in buf],
+                                       pad_to=cfg.read_pad)
+        keep, _, _ = rfilter.filter_pairs(
+            jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1),
+            jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2),
+            keys, cfg.k, cfg.filter_min_q, cfg.filter_k_threshold)
+        kept = 0
+        for p, m in zip(buf, np.asarray(keep)):
+            if m:
+                f1.write(f"@{p[0]}\n{p[1]}\n+\n{p[2]}\n")
+                f2.write(f"@{p[0]}\n{p[3]}\n+\n{p[4]}\n")
+                kept += 1
+        return kept
+
+    # -- stage 5: align mutant reads ---------------------------------------
+
+    def stage_align_reads(self, m1_path: str, m2_path: str):
+        cfg = self.cfg
+        sam_path = cfg.wpath(cfg.subject_stub + ".Mutations.fastq.sam")
+        if os.path.exists(sam_path):
+            self._log("skipping read alignment")
+            return sam_path
+        al = Aligner(self.ref_index())
+        pairs = [
+            (n1, s1, qq1, s2, qq2)
+            for (n1, s1, qq1), (_, s2, qq2) in zip(fastq.read_fastq(m1_path),
+                                                   fastq.read_fastq(m2_path))
+        ]
+        alns = rsam.sort_alignments(rsam.align_pairs(al, pairs))
+        rsam.write_sam(sam_path, alns, self.ref_index())
+        return sam_path
+
+    # -- stage 6: assembly --------------------------------------------------
+
+    def stage_assemble(self, sam_path: str, hl_path: str):
+        cfg = self.cfg
+        ns = cfg.name_stub
+        out_path = cfg.wpath(ns + ".overlap.hashcount.fastq")
+        if os.path.exists(out_path):
+            self._log("skipping assembly")
+            return out_path
+        records = []
+        for line in open(sam_path):
+            if line.startswith("@"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            records.append(SamLikeRec(int(f[1]), f[9], f[10]))
+        strs, cnts = hio.read_hashlist(hl_path)
+        threads = max(cfg.threads, 1)
+        if cfg.assembly_speed == "veryfast":
+            r0, _ = overlap_sam(records, strs, ns, 0.99, 25, 3, cfg.k)
+            r4, _ = overlap_round(r0, ns, 0.99, 75, 5, 15, 1, 1,
+                                  buffer_size=100 * threads)
+        else:
+            r0, _ = overlap_sam(records, strs, ns, 0.95, 20, 1, cfg.k)
+            r1, _ = overlap_round(r0, "20", 0.98, 100, 1, 20, 1, 0,
+                                  buffer_size=100 * threads)
+            r2, _ = overlap_round(r1, "20", 0.98, 75, 2, 20, 1, 1,
+                                  buffer_size=100 * threads)
+            r3, _ = overlap_round(r2, "20", 0.98, 50, 2, 20, 1, 1,
+                                  buffer_size=100 * threads)
+            r4, _ = overlap_region(r3, ns, 0.98, 50, 5, 1)
+        if not r4:
+            raise RuntimeError("assembly produced no contigs")
+        rq = annotate.replace_qual_with_depth(r4)
+        fastq.write_fastqd(cfg.wpath(ns + ".overlap.fastqd"), rq)
+        fq = annotate.fastqd_to_fastq(rq)
+        with open(cfg.wpath(ns + ".overlap.fastq"), "w") as f:
+            for n, s, q in fq:
+                f.write(f"@{n}\n{s}\n+\n{q}\n")
+        ann, side = annotate.annotate_overlap(list(zip(strs, cnts)), fq, cfg.k)
+        with open(out_path, "w") as f:
+            for n, s, q in ann:
+                f.write(f"@{n}\n{s}\n+\n{q}\n")
+        with open(cfg.wpath("TempOverlap", ns + ".overlap.asembly.hash.fastq"), "w") as f:
+            for l in side:
+                f.write(l + "\n")
+        return out_path
+
+    # -- stage 7: contig alignment + genotyping pulls ----------------------
+
+    def stage_contig_align(self, contigs_path: str, tables):
+        cfg = self.cfg
+        ns = cfg.name_stub
+        inter = lambda *p: cfg.wpath("Intermediates", *p)
+        al = Aligner(self.ref_index())
+        recs = list(fastq.read_fastq(contigs_path))
+
+        # contig alignments with splits (bwa mem -Y role)
+        alns = []
+        for n, s, q in recs:
+            alns.extend(al.align_seq(n, s, q, splits=True))
+        alns = rsam.sort_alignments(alns)
+        stdin_lines = []
+        by_name: dict[str, list] = {}
+        for a in alns:
+            by_name.setdefault(a.qname, []).append(a)
+        for a in alns:
+            if "chrUn" in a.ref_name:
+                continue
+            others = [x for x in by_name[a.qname] if x is not a and not x.is_unmapped]
+            sa_tag = ""
+            if others and not a.is_unmapped:
+                entries = "".join(
+                    f"{o.ref_name},{o.pos + 1},{'-' if o.is_reverse else '+'},"
+                    f"{o.cigar_string()},{o.mapq},{o.nm};"
+                    for o in others)
+                sa_tag = f"\tSA:Z:{entries}"
+            n_sa = len(others) if sa_tag else 0
+            line = rsam.to_sam_line(a, tags=f"NM:i:{a.nm}\tAS:i:{a.score}" + sa_tag)
+            f = line.split("\t")
+            f[0] = f"{f[0]}:SA={n_sa}"
+            stdin_lines.append("\t".join(f))
+        sam_out = cfg.wpath(ns + ".overlap.hashcount.fastq.sam")
+        rsam.write_sam(sam_out, alns, self.ref_index())
+
+        # MOB alignment
+        mob_sam = inter(ns + ".overlap.hashcount.fastq.MOB.sam")
+        mob_fasta_path = cfg.mob_fasta
+        with open(mob_sam, "w") as f:
+            f.write("@HD\tVN:1.6\tSO:coordinate\n")
+            if mob_fasta_path and os.path.exists(mob_fasta_path):
+                mob_ref = fasta.FastaReference(mob_fasta_path)
+                mob_idx = RefIndex({n: mob_ref.seqs[n] for n in mob_ref.names})
+                mob_al = Aligner(mob_idx)
+                for n in mob_idx.names:
+                    f.write(f"@SQ\tSN:{n}\tLN:{mob_idx.lengths[n]}\n")
+                for n, s, q in recs:
+                    a = mob_al.align_seq(n, s, q)[0]
+                    f.write(rsam.to_sam_line(a, tags=f"AS:i:{a.score}") + "\n")
+
+        # reference context fasta (bamtobed +-100 -> getfasta)
+        contigs_ref = self.ref_contigs()
+        ref_ctx_path = inter(ns + ".overlap.asembly.hash.fastq.ref.fastq")
+        ref_seqs = []
+        with open(ref_ctx_path, "w") as f:
+            for a in alns:
+                if a.is_unmapped:
+                    continue
+                s = max(0, a.pos - 100)
+                e = a.pos + a.ref_span() + 100
+                seq = contigs_ref[a.ref_name][s:e].tobytes().decode()
+                f.write(f">{a.ref_name}:{s}-{e}\n{seq}\n")
+                ref_seqs.append(seq)
+
+        # kmer tabs (non-canonical forward counts) + per-sample pulls
+        tab_alt = inter(ns + ".overlap.hashcount.fastq.Jhash.tab")
+        tab_ref = inter(ns + ".overlap.asembly.hash.fastq.ref.fastq.Jhash.tab")
+        t_alt = count.KmerTable.from_strings(cfg.k, [s for _, s, _ in recs],
+                                             canonical=False)
+        t_ref = count.KmerTable.from_strings(cfg.k, ref_seqs, canonical=False)
+        for t, path in ((t_alt, tab_alt), (t_ref, tab_ref)):
+            with open(path, "w") as f:
+                for s, c in zip(codec.kmers_to_strs(t.keys, cfg.k), t.counts):
+                    f.write(f"{s} {c}\n")
+
+        def pull(tab_path, table, out):
+            strs = [l.split()[0] for l in open(tab_path)]
+            if strs:
+                canon = [codec.canonical_str(s) for s in strs]
+                cnts = table.query(codec.strs_to_kmers(canon, cfg.k))
+            else:
+                cnts = []
+            with open(out, "w") as f:
+                for s, c in zip(strs, cnts):
+                    if 0 <= c <= cfg.genotype_max_cov:
+                        f.write(f"{s} {c}\n")
+
+        subj_alt = inter(ns + ".overlap.asembly.hash.fastq.sample")
+        subj_ref = inter(ns + ".overlap.asembly.hash.fastq.Ref.sample")
+        pull(tab_alt, tables["subject"], subj_alt)
+        pull(tab_ref, tables["subject"], subj_ref)
+        par_alt_paths, par_ref_paths = [], []
+        for c, t in zip(cfg.controls, tables["controls"]):
+            stub = cfg.control_stub(c)
+            pa = inter(f"{ns}.overlap.asembly.hash.fastq.{stub}.Jhash")
+            pr = inter(f"{ns}.overlap.asembly.hash.fastq.Ref.{stub}.Jhash")
+            pull(tab_alt, t, pa)
+            pull(tab_ref, t, pr)
+            par_alt_paths.append(pa)
+            par_ref_paths.append(pr)
+
+        # exclude / repeat reference hash
+        rep_ref = inter(ns + ".ref.RepRefHash")
+        if cfg.ref_hash and os.path.exists(cfg.ref_hash):
+            ex = count.KmerTable.load(cfg.ref_hash)
+            pull(tab_alt, ex, rep_ref)
+        else:
+            open(rep_ref, "w").close()
+
+        return {
+            "stdin_lines": stdin_lines,
+            "mob_sam": mob_sam,
+            "subj_alt": subj_alt,
+            "subj_ref": subj_ref,
+            "par_alt": par_alt_paths,
+            "par_ref": par_ref_paths,
+            "rep_ref": rep_ref,
+        }
+
+    # -- stage 8: interpret -------------------------------------------------
+
+    def stage_interpret(self, inputs):
+        cfg = self.cfg
+        ns = cfg.name_stub
+
+        class RefWrap:
+            def __init__(self, contigs):
+                self.seqs = contigs
+
+            def contig_array(self, name):
+                return self.seqs[name]
+
+        out_stub = cfg.wpath(ns + ".overlap.hashcount.fastq.bam")
+        dist_path = cfg.wpath(cfg.subject_stub + ".Jhash.histo.7.7.dist")
+        hl = [p for p in os.listdir(cfg.workdir)
+              if p.startswith(cfg.subject_stub + f".k{cfg.k}_c") and p.endswith(".HashList")]
+        hl_path = cfg.wpath(sorted(hl)[0])
+        return run_interpret(
+            inputs["stdin_lines"], RefWrap(self.ref_contigs()), dist_path,
+            hl_path, out_stub, inputs["par_alt"], inputs["par_ref"],
+            inputs["subj_alt"], inputs["subj_ref"], inputs["rep_ref"],
+            inputs["mob_sam"], min_map_qual=10,
+            max_variant_size=cfg.max_allele_size,
+        )
+
+    # -- full run -----------------------------------------------------------
+
+    def run(self) -> str:
+        cfg = self.cfg
+        tables = self.stage_count()
+        if cfg.stop_after == "jhash":
+            return ""
+        mutant_min_cov, max_hash_depth = self.stage_model()
+        self._log(f"MutantMinCov={mutant_min_cov} MaxHashDepth={max_hash_depth}")
+        hl_path = self.stage_hashlist(tables, mutant_min_cov, max_hash_depth)
+        if cfg.stop_after == "hashlist":
+            return hl_path
+        m1, m2 = self.stage_filter(hl_path)
+        if cfg.stop_after == "filter":
+            return m1
+        sam_path = self.stage_align_reads(m1, m2)
+        contigs_path = self.stage_assemble(sam_path, hl_path)
+        inputs = self.stage_contig_align(contigs_path, tables)
+        vcf_path = self.stage_interpret(inputs)
+        final = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq.bam.FINAL.vcf")
+        polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
+        self._log(f"FINAL VCF: {final}")
+        return final

@@ -1,0 +1,49 @@
+"""End-to-end golden test: testRun trio BAMs -> FINAL.vcf single call.
+
+The reference's runTest.sh criterion (README.md:60-73). Our target is the
+published golden call's variant and sample columns; INFO fields derive
+from the current reference source's behavior (the published line predates
+several code changes — see tests/test_parity_stage14.py docstring).
+"""
+
+import os
+
+import pytest
+
+TESTRUN = "/root/reference/testRun"
+REF = "/root/reference/resources/references/small_test_human_reference_v37_decoys.fa"
+MOB = "/root/reference/resources/primate_non-LTR_Retrotransposon.fasta"
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(os.path.join(TESTRUN, "Child.bam")), reason="testRun data absent"
+)
+
+
+@needs_data
+def test_trio_golden_call(tmp_path):
+    from rufus_tpu.pipeline import RufusConfig, RufusPipeline
+
+    cfg = RufusConfig(
+        subject=os.path.join(TESTRUN, "Child.bam"),
+        controls=[os.path.join(TESTRUN, "Mother.bam"),
+                  os.path.join(TESTRUN, "Father.bam")],
+        ref=REF, k=25, workdir=str(tmp_path), mob_fasta=MOB,
+    )
+    final = RufusPipeline(cfg).run()
+    rows = [l for l in open(final) if not l.startswith("#")]
+    assert len(rows) == 1, f"expected exactly one call, got {rows}"
+    f = rows[0].rstrip("\n").split("\t")
+    assert f[0] == "5:177630000"
+    assert f[1] == "12896"
+    assert f[2] == "X-DeNovo"
+    assert (f[3], f[4]) == ("T", "G")
+    assert f[6] == "PASS"
+    fmt = dict(zip(f[8].split(":"), f[9].split(":")))
+    assert fmt["GT"] == "0/1" and fmt["DP"] == "39"
+    assert fmt["RO"] == "20" and fmt["AO"] == "19"
+    assert f[10] == "0/0:23:23:0"  # Mother (published golden)
+    assert f[11] == "0/0:23:23:0"  # Father (published golden)
+    info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+    assert info["MQ"] == "60"
+    assert info["AO"] == "19"
+    assert info["CVT"] == "X" and info["VT"] == "X"
