@@ -344,17 +344,47 @@ class Aligner:
                 score, gstart, cigar, nm, qs, qe = ext
                 results.append((score, strand, gstart, cigar, nm, qs, qe, s))
         results = [r for r in results if r[0] >= min_score]
+        # dedupe: several seed clusters can extend to the same placement,
+        # which must not count as its own MAPQ rival
+        seen = set()
+        uniq = []
+        for r in results:
+            key = (r[1], r[2])
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        results = uniq
         if not results:
             return [Alignment(name, 0x4, "*", -1, 0, [], fwd, qual)]
         results.sort(key=lambda x: (-x[0], x[2]))
         best = results[0]
-        second = results[1][0] if len(results) > 1 else 0
-        sub = max(second, min_score - 1)
+        # MAPQ from competitors covering the SAME query region (bwa treats
+        # chimeric halves independently — the other half is not a rival)
+        second = self._second_best(best, results)
         mapq = self._mapq(best[0], second, len(seq))
         out = [self._to_alignment(name, qual, best, mapq, False)]
         if splits:
             out.extend(self._find_splits(name, qual, best, results, min_score))
         return out
+
+    @staticmethod
+    def _q_interval(res, L):
+        """Query interval of a result on the FORWARD read orientation."""
+        score, strand, gstart, cigar, nm, qs, qe, s = res
+        return (L - qe, L - qs) if strand else (qs, qe)
+
+    def _second_best(self, target, results):
+        L = len(target[7])
+        a0, b0 = self._q_interval(target, L)
+        second = 0
+        for r in results:
+            if r is target:
+                continue
+            a, b = self._q_interval(r, L)
+            ov = max(0, min(b0, b) - max(a0, a))
+            if ov >= 0.5 * max(1, min(b0 - a0, b - a)):
+                second = max(second, r[0])
+        return second
 
     def _mapq(self, best: int, second: int, qlen: int) -> int:
         if best <= second:
@@ -375,23 +405,23 @@ class Aligner:
                          score=score, ref_id=rid, nm=nm, is_supplementary=suppl)
 
     def _find_splits(self, name, qual, best, results, min_score):
-        """Supplementary alignments covering query tails the primary missed."""
-        score, strand, gstart, cigar, nm, qs, qe, s = best
+        """Supplementary alignments covering query tails the primary missed.
+
+        Each new split must be mostly novel w.r.t. the primary AND every
+        already-accepted split (best-score-first keeps the strongest hit
+        per query region)."""
+        L = len(best[7])
+        covered = [self._q_interval(best, L)]
         out = []
-        covered = (qs, qe)  # on the strand-oriented query
         for res in results[1:]:
-            sc2, st2, g2, c2, nm2, q2s, q2e, s2 = res
-            if sc2 < min_score:
+            if res[0] < min_score:
                 continue
-            # map to the primary's strand orientation for overlap check
-            L = len(s)
-            if st2 != strand:
-                a, b = L - q2e, L - q2s
-            else:
-                a, b = q2s, q2e
-            ov = max(0, min(covered[1], b) - max(covered[0], a))
+            a, b = self._q_interval(res, L)
+            ov = max(max(0, min(cb, b) - max(ca, a)) for ca, cb in covered)
             if ov < 0.5 * (b - a):
-                out.append(self._to_alignment(name, qual, res, 0, True))
+                mapq = self._mapq(res[0], self._second_best(res, results), L)
+                out.append(self._to_alignment(name, qual, res, mapq, True))
+                covered.append((a, b))
                 if len(out) >= 2:
                     break
         return out

@@ -22,7 +22,7 @@ def _g(x) -> str:
     return f"{x:.6g}"
 
 
-def parse_mutations(read: SamRead, vcf_out, bed_out):
+def parse_mutations(read: SamRead, vcf_out, bed_out, reads=None):
     ctx = read.ctx
     k = ctx.k
     read.build_up_hash_count_table()
@@ -160,6 +160,13 @@ def parse_mutations(read: SamRead, vcf_out, bed_out):
                     filt = "PASS"
                 if info_filter == "":
                     info_filter = "PASS"
+
+                # a split contig whose variant is explained here is removed
+                # from SV consideration (2877-2890)
+                if reads is not None and read.is_split_read > 0:
+                    if any(c in var_type for c in "DYI"):
+                        for w in read.alignments:
+                            reads[w].sv_event_id = -1
 
                 # entropy context (2891-2903)
                 estart = max(0, i - 25)

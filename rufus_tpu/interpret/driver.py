@@ -9,6 +9,7 @@ golden call is an SNV and exercises none of them.
 
 from __future__ import annotations
 
+import os
 import time
 
 from ..ops import codec
@@ -244,24 +245,67 @@ def run_interpret(sam_lines, ref, dist_path: str, hashlist_path: str,
         r.check_phase()
         r.clip_pattern = r.clip_pattern_str()
 
-    # TODO(SV): multi-contig MOB insertion pass (5896-6089)
-    # TODO(SV): multi-contig DEL/DUP pass (6090-6327)
+    from .betterway import AuxOutputs, better_way
+    from .sv import del_dup_pass, mob_insertion_pass
+    from .sv_cleanup import cleanup_pass
+
+    inter_dir = os.path.dirname(out_stub) or "."
+    inter = os.path.join(inter_dir, "Intermediates")
+    os.makedirs(inter, exist_ok=True)
+    base = os.path.basename(out_stub)
+    aux = AuxOutputs(
+        big=open(os.path.join(inter, base + ".vcf.Big.bed"), "w"),
+        not_handled=open(os.path.join(inter, base + ".vcf.NotHandled.bed"), "w"),
+        inversions=open(os.path.join(inter, base + ".vcf.invertions.bed"), "w"),
+        translocations=open(os.path.join(inter, base + ".vcf.Translocations"), "w"),
+        translocations_bed=open(os.path.join(inter, base + ".vcf.Translocations.bed"), "w"),
+        unaligned=open(os.path.join(inter, base + "vcf.Unaligned"), "w"),
+    )
+    sv_state = {"id": 0, "bnd": 0, "aux": aux}
+
+    mob_insertion_pass(reads, vcf, sv_state)
+    del_dup_pass(reads, vcf, sv_state)
+
+    import copy as _copy
 
     for i in range(len(reads)):
         read = reads[i]
         if read.chr == "*":
             continue
         if read.first and len(read.alignments) == 2:
-            # TODO(SV): BetterWay split-pair merge (3404-4418); until then
-            # fall through to per-alignment calling on the primary.
-            pass
+            # pick the two best alignments by AS (x1.0001 tie bump, 6350-6360)
+            scores = {}
+            for j in range(len(read.alignments)):
+                s = float(reads[read.alignments[j]].align_score)
+                while s in scores:
+                    s = s * 1.0001
+                scores[s] = j
+            good = [scores[s] for s in sorted(scores, reverse=True)]
+            R = [
+                _copy.deepcopy(reads[read.alignments[j]])
+                for j in range(len(read.alignments))
+                if j in (good[0], good[1] if len(good) > 1 else good[0])
+            ]
+            if (len(R) == 2 and R[0].map_qual > 0 and R[1].map_qual > 0
+                    and R[0].sv_event_id == 0):
+                read = better_way(R, aux, ctx.max_variant_size)
         elif read.first and len(read.alignments) > 2:
+            aux.not_handled.write("too many alignments\n")
+            aux.not_handled.write(
+                f"{read.chr}\t{read.pos}\t{read.pos + len(read.seq)}\t"
+                f"{read.name}\t{read.cigar}\n")
             continue
         if read.map_qual > ctx.min_map_qual and len(read.alignments) <= 2:
-            parse_mutations(read, vcf, bed)
+            parse_mutations(read, vcf, bed, reads)
 
-    # TODO(SV): cleanup passes — translocations/inversions/BND (6416-7725)
+    cleanup_pass(reads, vcf, mobs, sv_state)
 
+    for f in (aux.big, aux.not_handled, aux.inversions, aux.translocations,
+              aux.translocations_bed, aux.unaligned):
+        try:
+            f.close()
+        except Exception:
+            pass
     vcf.close()
     bed.close()
     return vcf_path

@@ -176,6 +176,8 @@ class SamRead:
         self.mob_as = 0
         self.all_a = False
         self.sv_event_id = 0
+        self.is_split_read = 0
+        self.bnd_id = 0
         self.alignment_segments = 0
         self.alignment_segments_cigar = 0
         # per-column k-mer vectors
@@ -241,6 +243,7 @@ class SamRead:
                 out.append(ch * int(num or 0))
                 num = ""
         self.cigar_string = "".join(out)
+        self.is_split_read = sum(1 for c in self.cigar_string if c in "HS")
 
     # -- reference expansion ------------------------------------------------
 
