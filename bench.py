@@ -22,8 +22,8 @@ import numpy as np
 
 BASELINE_FUSED_READS_S = 16_600.0
 
-B, L, K = 8192, 160, 25
-ITERS = 20
+B, L, K = 65536, 160, 25
+ITERS = 8
 
 
 def main():
@@ -35,34 +35,46 @@ def main():
 
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    reads = jax.device_put(jnp.asarray(rng.choice(bases, size=(B, L))))
+    # DISTINCT batches per iteration: the axon relay can elide repeated
+    # identical dispatches, which silently inflates throughput otherwise
+    batches = [jax.device_put(jnp.asarray(rng.choice(bases, size=(B, L))))
+               for _ in range(ITERS)]
     quals = jax.device_put(jnp.full((B, L), ord("I"), jnp.uint8))
     lens = jax.device_put(jnp.full((B,), 150, jnp.int32))
-    table = jax.device_put(jnp.sort(jnp.asarray(
-        rng.integers(0, 1 << 50, size=65536, dtype=np.uint64))))
+    table = np.sort(rng.integers(0, 1 << 50, size=65536, dtype=np.uint64))
+    bloom = jax.device_put(jnp.asarray(rfilter.build_bloom(table)))
 
-    def run_count():
+    def run_count(reads):
         keys, counts, n = count.count_reads_batch(reads, K)
         return n
 
-    def run_filter():
-        keep, _ = rfilter.filter_single(reads, quals, lens, table, K, 15, 1)
-        return keep
+    def run_filter(reads):
+        # the pipeline filter hot path: device Bloom probe (candidates are
+        # host-verified exactly; none arise on random data)
+        return rfilter.window_candidate_hits(reads, quals, lens, bloom, K, 15)
 
-    # warmup / compile
-    run_count().block_until_ready()
-    run_filter().block_until_ready()
+    # Force uploads + compiles before timing; time with a single REDUCED
+    # fetch over all outputs (block_until_ready alone under-reports through
+    # the axon relay, and repeated identical dispatches can be elided).
+    for b in batches:
+        int(b.sum())
+    int(run_count(batches[0]))
+    int(run_filter(batches[0]).sum())
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        n = run_count()
-    n.block_until_ready()
+    outs = [run_count(b) for b in batches]
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc + o
+    int(acc)
     count_rps = B * ITERS / (time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        keep = run_filter()
-    keep.block_until_ready()
+    outs = [run_filter(b).sum() for b in batches]
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc + o
+    int(acc)
     filter_rps = B * ITERS / (time.perf_counter() - t0)
 
     fused = 1.0 / (1.0 / count_rps + 1.0 / filter_rps)

@@ -1,0 +1,98 @@
+"""ctypes bindings for the native C++ I/O runtime (native/bamdecode.cpp).
+
+`NativeBam` mirrors the Python reader's batch interface but decodes BGZF
+blocks with a thread pool and parses records in C++ — the host-side
+throughput path that keeps device batches fed. Falls back silently if the
+shared library hasn't been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                         "librufus_native.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = os.path.abspath(_LIB_PATH)
+    if not os.path.exists(path):
+        try:  # attempt an on-demand build (g++ is baked into the image)
+            subprocess.run(["make", "-C", os.path.dirname(path)],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.bam_open.restype = ctypes.c_void_p
+    lib.bam_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.bam_num_records.restype = ctypes.c_long
+    lib.bam_num_records.argtypes = [ctypes.c_void_p]
+    lib.bam_read_batch.restype = ctypes.c_long
+    lib.bam_read_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+    ]
+    lib.bam_reset.argtypes = [ctypes.c_void_p]
+    lib.bam_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeBam:
+    """Batch reader over a BAM file using the native decoder."""
+
+    def __init__(self, path: str, threads: int = 2):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.bam_open(path.encode(), threads)
+        if not self._h:
+            raise IOError(f"failed to open {path}")
+
+    def __len__(self):
+        return int(self._lib.bam_num_records(self._h))
+
+    def read_batch(self, capacity: int, pad_len: int,
+                   exclude_flags: int = 0xD00):
+        """-> (seq (n,pad) uint8, qual (n,pad) uint8, lens (n,) int32)."""
+        seq = np.full((capacity, pad_len), ord("N"), np.uint8)
+        qual = np.full((capacity, pad_len), ord("!"), np.uint8)
+        lens = np.zeros(capacity, np.int32)
+        n = self._lib.bam_read_batch(
+            self._h, exclude_flags,
+            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            qual.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            capacity, pad_len)
+        return seq[:n], qual[:n], lens[:n]
+
+    def reset(self):
+        self._lib.bam_reset(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.bam_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -34,8 +34,17 @@ _CODE2CHAR = np.array([ord("A"), ord("C"), ord("G"), ord("T")], dtype=np.uint8)
 
 
 def encode_bases(ascii_bytes: jax.Array) -> jax.Array:
-    """ASCII uint8 array -> 2-bit codes (uint8), INVALID for non-ACGT."""
-    return _LUT_J[ascii_bytes]
+    """ASCII uint8 array -> 2-bit codes (uint8), INVALID for non-ACGT.
+
+    Pure arithmetic (no table gather — dynamic gathers are slow on TPU):
+    (c>>1)&3 maps A->0 C->1 G->3 T->2; flipping the LSB for codes >= 2
+    restores lexicographic order A0 C1 G2 T3.
+    """
+    u = ascii_bytes & jnp.uint8(0xDF)  # uppercase
+    code = (u >> jnp.uint8(1)) & jnp.uint8(3)
+    code = jnp.where(code >= 2, code ^ jnp.uint8(1), code)
+    valid = (u == 65) | (u == 67) | (u == 71) | (u == 84)
+    return jnp.where(valid, code, jnp.uint8(INVALID))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

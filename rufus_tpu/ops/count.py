@@ -25,33 +25,57 @@ from . import codec
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def _next_head_after(head: jax.Array, n: int):
+    """For each position i, the index of the next run head AFTER i (n if
+    none) — a reverse cumulative min, no scatter."""
+    idx = jnp.arange(n, dtype=jnp.int32)
+    marks = jnp.where(head, idx, jnp.int32(n))
+    nxt_ge = jnp.flip(jax.lax.cummin(jnp.flip(marks)))
+    return jnp.concatenate([nxt_ge[1:], jnp.full((1,), n, jnp.int32)])
+
+
 @jax.jit
 def rle_sum(sorted_keys: jax.Array, values: jax.Array):
     """Run-length sum of `values` over equal runs of `sorted_keys`.
 
-    Returns (unique_keys, sums, n_unique): unique keys compacted to the
-    front, padded with SENTINEL; positions >= n_unique are padding.
-    Sentinel keys in the input are excluded from n_unique but their run
-    still appears (callers slice by n_unique).
+    Scatter-free (TPU scatters serialize): run boundaries come from a
+    reverse scan, run sums from a cumsum difference. Output is NOT
+    compacted — entry i holds (key, sum) iff i is the head of a non-
+    sentinel run, else (SENTINEL, 0). n_unique counts the real runs;
+    callers filter by key != SENTINEL.
     """
     n = sorted_keys.shape[0]
     head = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sorted_keys[1:] != sorted_keys[:-1]]
     )
-    seg = jnp.cumsum(head) - 1
-    sums = jnp.zeros((n,), dtype=values.dtype).at[seg].add(values)
-    uniq = jnp.full((n,), SENTINEL, dtype=jnp.uint64).at[seg].set(sorted_keys)
-    n_unique = jnp.sum(head & (sorted_keys != SENTINEL))
-    return uniq, sums, n_unique
+    nxt = _next_head_after(head, n)
+    c = jnp.cumsum(values)
+    c_prev = jnp.concatenate([jnp.zeros((1,), values.dtype), c[:-1]])
+    end = jnp.minimum(nxt, n) - 1
+    sums = c[end] - c_prev
+    valid_head = head & (sorted_keys != SENTINEL)
+    uniq = jnp.where(valid_head, sorted_keys, SENTINEL)
+    sums = jnp.where(valid_head, sums, 0)
+    return uniq, sums, valid_head.sum()
 
 
 @jax.jit
 def count_batch(kmers: jax.Array, valid: jax.Array):
-    """Sort+RLE one flat batch of k-mers -> (unique_keys, counts, n_unique)."""
+    """Sort+RLE one flat batch of k-mers -> (unique_keys, counts, n_unique).
+
+    Counting fast path: run length = next_head - index, entirely gather-
+    and scatter-free. Same non-compacted output contract as rle_sum.
+    """
     keys = jnp.where(valid, kmers, SENTINEL).ravel()
     s = jnp.sort(keys)
-    ones = jnp.ones(s.shape, dtype=jnp.int64)
-    return rle_sum(s, ones)
+    n = s.shape[0]
+    head = jnp.concatenate([jnp.ones((1,), dtype=bool), s[1:] != s[:-1]])
+    nxt = _next_head_after(head, n)
+    run_len = (nxt - jnp.arange(n, dtype=jnp.int32)).astype(jnp.int64)
+    valid_head = head & (s != SENTINEL)
+    uniq = jnp.where(valid_head, s, SENTINEL)
+    counts = jnp.where(valid_head, run_len, 0)
+    return uniq, counts, valid_head.sum()
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -105,9 +129,11 @@ class KmerTable:
         """
         keys_list, cnt_list = [], []
         for keys, counts, n in chunks:
-            n = int(n)
-            keys_list.append(np.asarray(keys[:n], dtype=np.uint64))
-            cnt_list.append(np.asarray(counts[:n], dtype=np.int64))
+            keys = np.asarray(keys, dtype=np.uint64)
+            counts = np.asarray(counts, dtype=np.int64)
+            mask = keys != SENTINEL  # non-compacted device RLE output
+            keys_list.append(keys[mask])
+            cnt_list.append(counts[mask])
         if not keys_list:
             return cls(k, np.empty(0, np.uint64), np.empty(0, np.int64))
         keys = np.concatenate(keys_list)

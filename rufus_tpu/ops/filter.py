@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import codec
 
@@ -77,3 +78,108 @@ def filter_single(reads, quals, lens, table_keys, k: int, min_q: int,
     """Single-end keep mask (RUFUS.Filter.ss.cpp path)."""
     h = window_hits(reads, quals, lens, table_keys, k, min_q)
     return h >= threshold, h
+
+
+# ---------------------------------------------------------------------------
+# Fast path: Bloom pre-filter on device + exact host verification.
+#
+# searchsorted over a u64 table costs ~300ms per 8k-read batch on TPU
+# (emulated 64-bit compares x 16 binary-search steps); a 2-hash bit-array
+# probe in u32 arithmetic costs ~0.1ms. False positives only — candidate
+# reads (rare) are re-checked exactly on the host, so the keep set is
+# bit-identical to the exact kernel.
+# ---------------------------------------------------------------------------
+
+BLOOM_LOG2 = 24  # 16M bits = 2 MB of u32 words
+
+_C1 = np.uint32(2654435761)
+_C2 = np.uint32(2246822519)
+_C3 = np.uint32(3266489917)
+
+
+def _bloom_hashes_np(keys: np.ndarray):
+    """Blocked bloom: one u32 word per key (h1) holding two bits (from h2).
+
+    A single gather per probe — gathers dominate the probe cost on TPU."""
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    lo = keys.astype(np.uint32)
+    word_mask = np.uint32((1 << BLOOM_LOG2) // 32 - 1)
+    with np.errstate(over="ignore"):
+        m1 = (hi * _C1) ^ (lo * _C2)
+        m1 ^= m1 >> np.uint32(15)
+        m1 *= _C3
+        m1 ^= m1 >> np.uint32(13)
+        m2 = (lo * _C3) ^ (hi * _C2) ^ np.uint32(0x9E3779B9)
+        m2 ^= m2 >> np.uint32(16)
+        m2 *= _C1
+        m2 ^= m2 >> np.uint32(11)
+    h1 = m1 & word_mask
+    b1 = (m2 >> np.uint32(27)) & np.uint32(31)
+    b2 = (m2 >> np.uint32(22)) & np.uint32(31)
+    return h1, b1, b2
+
+
+def build_bloom(table_keys: np.ndarray) -> np.ndarray:
+    """Host: canonical mutant k-mers -> u32 blocked-bloom for device probing."""
+    words = np.zeros((1 << BLOOM_LOG2) // 32, dtype=np.uint32)
+    if len(table_keys):
+        h1, b1, b2 = _bloom_hashes_np(np.asarray(table_keys, dtype=np.uint64))
+        np.bitwise_or.at(words, h1, (np.uint32(1) << b1) | (np.uint32(1) << b2))
+    return words
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def window_candidate_hits(ascii_reads, quals, lens, bloom_words, k: int,
+                          min_q: int):
+    """Per-read count of scanned windows whose canonical k-mer probes
+    positive in the Bloom bit-array (superset of window_hits)."""
+    B, L = ascii_reads.shape
+    codes = codec.encode_bases(ascii_reads)
+    good = (codes != codec.INVALID) & ((quals.astype(jnp.int32) - 33) >= min_q)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    good = good & (pos[None, :] < lens[:, None])
+    kmers, _ = codec.pack_kmers(codes, k)
+    canon = codec.canonical_kmers(kmers, k)
+    run = jnp.cumsum(good.astype(jnp.int32), axis=1)
+    run_k = run[:, k - 1 :] - jnp.pad(run, ((0, 0), (1, 0)))[:, : L - k + 1]
+    end_pos = pos[k - 1 :]
+    scanned = (run_k == k) & (end_pos[None, :] <= lens[:, None] - 2)
+
+    hi = (canon >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = canon.astype(jnp.uint32)
+    word_mask = jnp.uint32((1 << BLOOM_LOG2) // 32 - 1)
+    m1 = (hi * _C1) ^ (lo * _C2)
+    m1 = m1 ^ (m1 >> jnp.uint32(15))
+    m1 = m1 * _C3
+    m1 = m1 ^ (m1 >> jnp.uint32(13))
+    m2 = (lo * _C3) ^ (hi * _C2) ^ jnp.uint32(0x9E3779B9)
+    m2 = m2 ^ (m2 >> jnp.uint32(16))
+    m2 = m2 * _C1
+    m2 = m2 ^ (m2 >> jnp.uint32(11))
+    h1 = m1 & word_mask
+    b1 = (m2 >> jnp.uint32(27)) & jnp.uint32(31)
+    b2 = (m2 >> jnp.uint32(22)) & jnp.uint32(31)
+    word = bloom_words[h1]  # the single gather
+    member = (((word >> b1) & 1) & ((word >> b2) & 1)).astype(bool)
+    return jnp.sum(scanned & member, axis=1).astype(jnp.int32)
+
+
+def exact_hits_host(seq: str, qual: str, sorted_keys: np.ndarray, k: int,
+                    min_q: int) -> int:
+    """Host-exact replication of the RUFUS.Filter window scan for one read."""
+    hits = 0
+    streak = 0
+    n = len(seq)
+    for i in range(0, n - 1):
+        if ord(qual[i]) - 33 < min_q or seq[i] not in "ACGT":
+            streak = 0
+        else:
+            streak += 1
+        if streak >= k:
+            w = seq[i - k + 1 : i + 1]
+            v = np.uint64(codec.str_to_kmer(codec.canonical_str(w)))
+            j = int(np.searchsorted(sorted_keys, v))
+            if j < len(sorted_keys) and sorted_keys[j] == v:
+                hits += 1
+    return hits
+

@@ -85,21 +85,42 @@ class RufusPipeline:
             self._log(f"skipping count for {stub}")
             return count.KmerTable.load(table_path)
         chunks = []
-        batch: list[str] = []
+        use_native = (not path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")))
+        if use_native:
+            try:
+                from ..io import native
 
-        def flush():
-            if not batch:
-                return
-            r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
-            keys, counts, n = count.count_reads_batch(jnp.asarray(r), cfg.k)
-            chunks.append((np.asarray(keys), np.asarray(counts), int(n)))
-            batch.clear()
+                nb = native.NativeBam(path, threads=cfg.threads)
+            except Exception:
+                use_native = False
+        if use_native:
+            # native batch decode: uint8 matrices straight to device
+            while True:
+                seq, _, _ = nb.read_batch(cfg.batch_size, cfg.read_pad)
+                if len(seq) == 0:
+                    break
+                if len(seq) < cfg.batch_size:  # pad to fixed shape for jit
+                    pad = np.full((cfg.batch_size - len(seq), cfg.read_pad),
+                                  ord("N"), np.uint8)
+                    seq = np.concatenate([seq, pad])
+                keys, counts, n = count.count_reads_batch(jnp.asarray(seq), cfg.k)
+                chunks.append((np.asarray(keys), np.asarray(counts), int(n)))
+        else:
+            batch: list[str] = []
 
-        for seq in self._read_stream(path):
-            batch.append(seq)
-            if len(batch) >= cfg.batch_size:
-                flush()
-        flush()
+            def flush():
+                if not batch:
+                    return
+                r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
+                keys, counts, n = count.count_reads_batch(jnp.asarray(r), cfg.k)
+                chunks.append((np.asarray(keys), np.asarray(counts), int(n)))
+                batch.clear()
+
+            for seq in self._read_stream(path):
+                batch.append(seq)
+                if len(batch) >= cfg.batch_size:
+                    flush()
+            flush()
         table = count.KmerTable.from_rle_chunks(cfg.k, chunks, lower_count=lower)
         if len(table) == 0:
             raise RuntimeError(f"counting produced no kmers for {path}")
@@ -177,7 +198,10 @@ class RufusPipeline:
         if os.path.exists(m1_path):
             self._log("skipping filter")
             return m1_path, m2_path
-        keys = jnp.asarray(hio.hashlist_keys(hl_path, cfg.k))
+        keys_np = hio.hashlist_keys(hl_path, cfg.k)
+        keys = jnp.asarray(keys_np)
+        self._bloom = jnp.asarray(rfilter.build_bloom(keys_np))
+        self._hl_keys = keys_np
         if cfg.fastq_a:
             pair_stream = self._fastq_pair_stream(cfg.fastq_a, cfg.fastq_b)
         else:
@@ -210,13 +234,26 @@ class RufusPipeline:
                                        pad_to=cfg.read_pad)
         r2, q2, l2 = fastq.batch_reads([p[3] for p in buf], [p[4] for p in buf],
                                        pad_to=cfg.read_pad)
-        keep, _, _ = rfilter.filter_pairs(
-            jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1),
-            jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2),
-            keys, cfg.k, cfg.filter_min_q, cfg.filter_k_threshold)
+        # device Bloom pre-filter (superset), exact host verify of the rare
+        # candidates — keep set identical to the exact kernel
+        c1 = np.asarray(rfilter.window_candidate_hits(
+            jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1), self._bloom,
+            cfg.k, cfg.filter_min_q))
+        c2 = np.asarray(rfilter.window_candidate_hits(
+            jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2), self._bloom,
+            cfg.k, cfg.filter_min_q))
+        thr = cfg.filter_k_threshold
         kept = 0
-        for p, m in zip(buf, np.asarray(keep)):
-            if m:
+        for idx in np.nonzero((c1 >= thr) | (c2 >= thr))[0]:
+            p = buf[idx]
+            h1 = rfilter.exact_hits_host(p[1], p[2], self._hl_keys, cfg.k,
+                                         cfg.filter_min_q)
+            ok = h1 >= thr
+            if not ok:
+                h2 = rfilter.exact_hits_host(p[3], p[4], self._hl_keys, cfg.k,
+                                             cfg.filter_min_q)
+                ok = h2 >= thr
+            if ok:
                 f1.write(f"@{p[0]}\n{p[1]}\n+\n{p[2]}\n")
                 f2.write(f"@{p[0]}\n{p[3]}\n+\n{p[4]}\n")
                 kept += 1

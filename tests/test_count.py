@@ -24,14 +24,22 @@ def _brute_counts(seqs, k):
     return dict(c)
 
 
+def _rle_dict(keys, counts, k):
+    keys = np.asarray(keys)
+    counts = np.asarray(counts)
+    mask = keys != count.SENTINEL
+    return {codec.kmer_to_str(int(kk), k): int(cc)
+            for kk, cc in zip(keys[mask], counts[mask])}
+
+
 def test_count_reads_batch_matches_brute():
     rng = np.random.default_rng(7)
     k = 11
     seqs = ["".join(rng.choice(list("ACGTN"), rng.integers(20, 40), p=[0.24] * 4 + [0.04])) for _ in range(50)]
     keys, counts, n = count.count_reads_batch(_ascii_batch(seqs), k)
-    n = int(n)
-    got = {codec.kmer_to_str(int(kk), k): int(cc) for kk, cc in zip(np.asarray(keys[:n]), np.asarray(counts[:n]))}
+    got = _rle_dict(keys, counts, k)
     assert got == _brute_counts(seqs, k)
+    assert int(n) == len(got)
 
 
 def test_table_from_chunks_and_lower_count():
@@ -71,8 +79,7 @@ def test_merge_sorted_device():
     bk = jnp.asarray(b.keys)
     bc = jnp.asarray(b.counts)
     keys, sums, n = count.merge_sorted(ak, ac, bk, bc)
-    n = int(n)
-    got = dict(zip(codec.kmers_to_strs(np.asarray(keys[:n]), k), np.asarray(sums[:n]).tolist()))
+    got = _rle_dict(keys, sums, k)
     brute = _brute_counts(["ACGTACGTACGTACG"] * 2 + ["CCCCCCCCCC"], k)
     assert got == brute
 
