@@ -70,18 +70,28 @@ def parse_mutations(read: SamRead, vcf_out, bed_out, reads=None):
 
                 supporting = read.get_supporting_hash_count(i, alt, reff)
                 cvt, struct_call = compress_var(var_type, read.positions[start_pos])
-                par_genotypes = []
-                par_ref_modes = []
-                par_alt_modes = []
-                for pi in range(len(ctx.parent_hashes)):
-                    _, _, g, rm, am = read.get_modes3(
-                        i, alt, reff, read.par_ref_counts[pi], read.par_alt_counts[pi])
-                    par_genotypes.append(g)
-                    par_ref_modes.append(rm)
-                    par_alt_modes.append(am)
-                hash_counts, possible, genotype, mut_ref_mode, mut_alt_mode = \
-                    read.get_modes3(i, alt, reff, read.mut_ref_counts,
-                                    read.mut_alt_counts)
+                if ctx.model.is_exome:
+                    from .sv import shitty_genotyper
+
+                    (mut_ref_mode, mut_alt_mode, par_ref_modes, par_alt_modes,
+                     hash_counts, _og, possible) = read.get_modes_exome(i, alt, reff)
+                    genotype = shitty_genotyper(mut_alt_mode, mut_ref_mode)
+                    par_genotypes = [shitty_genotyper(pa, pr) for pa, pr
+                                     in zip(par_alt_modes, par_ref_modes)]
+                else:
+                    par_genotypes = []
+                    par_ref_modes = []
+                    par_alt_modes = []
+                    for pi in range(len(ctx.parent_hashes)):
+                        _, _, g, rm, am = read.get_modes3(
+                            i, alt, reff, read.par_ref_counts[pi],
+                            read.par_alt_counts[pi])
+                        par_genotypes.append(g)
+                        par_ref_modes.append(rm)
+                        par_alt_modes.append(am)
+                    hash_counts, possible, genotype, mut_ref_mode, mut_alt_mode = \
+                        read.get_modes3(i, alt, reff, read.mut_ref_counts,
+                                        read.mut_alt_counts)
 
                 # parent low-coverage window check (2717-2740)
                 num_low_cov = 0

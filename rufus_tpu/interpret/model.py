@@ -40,8 +40,13 @@ class DepthModel:
     @classmethod
     def load(cls, path: str):
         m = cls()
-        with open(path) as f:
-            lines = f.read().split("\n")
+        try:
+            with open(path) as f:
+                lines = f.read().split("\n")
+        except OSError:
+            # ProcessDist tolerates a missing model file (5117-5126): the
+            # exome path never produces a .dist, leaving DistGlobal empty
+            return m
         if lines[0] == "exome":
             m.is_exome = True
             return m
@@ -139,6 +144,8 @@ def baysean_genotyper(model: DepthModel, counts, var_num: str):
     shadowed-C UB resolved to the intended depth assignment."""
     if len(counts) == 0:
         return "", 0
+    if len(model.dist) == 0:  # exome / no model: maxI stays -1
+        return "", pick_depth_somatic(model, counts)
     sums = []
     pb = 0.0
     for copy in range(len(model.dist)):

@@ -571,6 +571,78 @@ class SamRead:
                 count += 1
         return count
 
+    def get_modes_exome(self, pos, alt, reff):
+        """GetModes (1916-2060): min/median-based modes, exome path.
+
+        Returns (mut_ref_mode, mut_alt_mode, par_ref_modes, par_alt_modes,
+        hash_counts, hash_counts_og, possible)."""
+        ctx = self.ctx
+        k = ctx.k
+        lower = max(0, pos - k + 1)
+        upper = min(pos + len(alt) + len(reff) - 1, len(self.mut_ref_counts))
+        n_par = len(ctx.parent_hashes)
+        var_mut_ref, var_mut_alt = [], []
+        var_par_ref = [[] for _ in range(n_par)]
+        var_par_alt = [[] for _ in range(n_par)]
+        hash_counts, hash_counts_og = [], []
+        possible = 0
+        last_alt = "boomba"
+        ex = ctx.exclude_hashes
+        for j in range(lower, upper):
+            ak, rk = self.alt_kmers[j], self.ref_kmers[j]
+            ak_rc = codec.revcomp_str(ak)
+            differ = ak != rk
+            not_excluded = (ex.get(ctx.h2l(ak), 0) < 1
+                            and ex.get(ctx.h2l(ak_rc), 0) < 1)
+            if differ and not_excluded and ak != last_alt:
+                possible += 1
+            last_alt = ak
+            if 0 < self.mut_ref_counts[j] < 400 and differ:
+                var_mut_ref.append(self.mut_ref_counts[j])
+            if (0 < self.mut_alt_counts[j] < 400 and differ
+                    and (ak in ctx.hash or ak_rc in ctx.hash) and not_excluded):
+                var_mut_alt.append(self.mut_alt_counts[j])
+            rk_rc = codec.revcomp_str(rk)
+            ref_not_excluded = (ex.get(ctx.h2l(rk), 0) < 1
+                                and ex.get(ctx.h2l(rk_rc), 0) < 1)
+            for pi in range(n_par):
+                if 0 < self.par_ref_counts[pi][j] < 400 and differ:
+                    var_par_ref[pi].append(self.par_ref_counts[pi][j])
+                if (0 < self.par_alt_counts[pi][j] < 400 and differ
+                        and (ak in ctx.hash or ak_rc in ctx.hash)
+                        and ref_not_excluded):
+                    var_par_alt[pi].append(self.par_alt_counts[pi][j])
+            if ctx.hash.get(ak, 0) > 0 and differ:
+                hash_counts_og.append(ctx.hash[ak])
+            elif ctx.hash.get(ak_rc, 0) and differ:
+                hash_counts_og.append(ctx.hash[ak_rc])
+            if ctx.hash.get(ak, 0) > 0 and differ:
+                hash_counts.append(ctx.hash[ak])
+            elif ctx.hash.get(ak_rc, 0) > 0 and differ:
+                hash_counts.append(ctx.hash[ak_rc])
+            else:
+                hash_counts.append(-1)
+        var_mut_ref.sort()
+        var_mut_alt.sort()
+        for v in var_par_ref:
+            v.sort()
+        for v in var_par_alt:
+            v.sort()
+
+        def mode_of(v, alt_style=False):
+            if len(v) > 1:
+                return v[(len(v) - 2) // 2] if alt_style else v[len(v) // 2]
+            if len(v) == 1:
+                return v[0]
+            return 0
+
+        mut_ref_mode = mode_of(var_mut_ref)
+        mut_alt_mode = mode_of(var_mut_alt, alt_style=True)
+        par_ref_modes = [mode_of(v) for v in var_par_ref]
+        par_alt_modes = [mode_of(v) for v in var_par_alt]
+        return (mut_ref_mode, mut_alt_mode, par_ref_modes, par_alt_modes,
+                hash_counts, hash_counts_og, possible)
+
     def get_modes3(self, pos, alt, reff, ref_counts, alt_counts):
         """GetModes3 (1809-1864) -> (hash_counts, possible_var_kmer,
         genotype, ref_count, alt_count)."""

@@ -164,6 +164,39 @@ def window_candidate_hits(ascii_reads, quals, lens, bloom_words, k: int,
     return jnp.sum(scanned & member, axis=1).astype(jnp.int32)
 
 
+SMALL_TABLE_MAX = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def window_hits_small(ascii_reads, quals, lens, table_keys, k: int, min_q: int):
+    """Exact per-read hits via broadcast-compare against a SMALL table.
+
+    De novo HashLists are typically tiny (tens to hundreds of k-mers); an
+    all-pairs equality test in chunks beats both binary search (emulated
+    u64 compares x log T) and Bloom+verify, and is exact.
+    """
+    B, L = ascii_reads.shape
+    T = table_keys.shape[0]
+    if T == 0:
+        return jnp.zeros((B,), dtype=jnp.int32)
+    codes = codec.encode_bases(ascii_reads)
+    good = (codes != codec.INVALID) & ((quals.astype(jnp.int32) - 33) >= min_q)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    good = good & (pos[None, :] < lens[:, None])
+    kmers, _ = codec.pack_kmers(codes, k)
+    canon = codec.canonical_kmers(kmers, k)
+    run = jnp.cumsum(good.astype(jnp.int32), axis=1)
+    run_k = run[:, k - 1 :] - jnp.pad(run, ((0, 0), (1, 0)))[:, : L - k + 1]
+    end_pos = pos[k - 1 :]
+    scanned = (run_k == k) & (end_pos[None, :] <= lens[:, None] - 2)
+    member = jnp.zeros(canon.shape, dtype=bool)
+    CH = 512
+    for t0 in range(0, T, CH):
+        chunk = table_keys[t0 : t0 + CH]
+        member = member | (canon[..., None] == chunk[None, None, :]).any(-1)
+    return jnp.sum(scanned & member, axis=1).astype(jnp.int32)
+
+
 def exact_hits_host(seq: str, qual: str, sorted_keys: np.ndarray, k: int,
                     min_q: int) -> int:
     """Host-exact replication of the RUFUS.Filter window scan for one read."""

@@ -32,18 +32,26 @@ def main():
     p.add_argument("--refhash", default="", help="repeat reference table (.npz)")
     p.add_argument("--exome", action="store_true")
     p.add_argument("--mosaic", action="store_true")
+    p.add_argument("--single-end", action="store_true", dest="single_end")
+    p.add_argument("--tumor", action="store_true",
+                   help="tumor-normal preset: fixed MutantMinCov=5 "
+                        "(scripts/RunRUFUS.Tumor.sh)")
     p.add_argument("--speed", default="full", choices=["full", "veryfast"])
     p.add_argument("--workdir", default=".")
     p.add_argument("--stop-after", default="", choices=["", "jhash", "hashlist", "filter"])
     a = p.parse_args()
+    min_cov = a.min
+    if a.tumor and min_cov is None:
+        min_cov = 5  # RunRUFUS.Tumor.sh fixed cutoff
     cfg = RufusConfig(
         subject=a.subject, controls=a.controls, ref=a.ref, k=a.k,
-        threads=a.threads, workdir=a.workdir, min_cov=a.min,
+        threads=a.threads, workdir=a.workdir, min_cov=min_cov,
         filter_min_q=a.filterMinQ, filter_k_threshold=a.filterK,
         max_allele_size=a.maxAllele, par_low_k=a.parLowK,
         exclude_hash=a.exclude, fastq_a=a.fastqA, fastq_b=a.fastqB,
         mob_fasta=a.mob, ref_hash=a.refhash, exome=a.exome, mosaic=a.mosaic,
-        assembly_speed=a.speed, stop_after=a.stop_after,
+        single_end=a.single_end, assembly_speed=a.speed,
+        stop_after=a.stop_after,
     )
     final = RufusPipeline(cfg).run()
     print(final)

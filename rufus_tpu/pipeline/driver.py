@@ -68,12 +68,15 @@ class RufusPipeline:
     # -- stage 1: count -----------------------------------------------------
 
     def _read_stream(self, path: str):
-        if path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
-            for _, s, _ in fastq.read_fastq(path):
-                yield s
-        else:
-            for _, s, _ in bam.bam_to_fastq(path):
-                yield s
+        # comma-separated fastq pairs are read in sequence (the reference's
+        # FastqToSam generator shim, runRufus.sh:159-168)
+        for part in path.split(","):
+            if part.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+                for _, s, _ in fastq.read_fastq(part):
+                    yield s
+            else:
+                for _, s, _ in bam.bam_to_fastq(part):
+                    yield s
 
     def count_sample(self, path: str, stub: str, lower: int):
         import jax.numpy as jnp
@@ -144,22 +147,27 @@ class RufusPipeline:
         cfg = self.cfg
         histo_path = cfg.wpath(cfg.subject_stub + ".Jhash.histo")
         model_path = histo_path + ".7.7.model"
+        if cfg.exome:
+            # synthetic model, no fit (runRufus.sh:878-893); no .dist exists
+            if not cfg.min_cov:
+                raise RuntimeError("min coverage (-m) required for exome runs")
+            with open(model_path, "w") as f:
+                f.write(f"3\n{cfg.min_cov}\n3.1392e+09\n1000000\n")
+            return cfg.min_cov, 100000000
         if not os.path.exists(model_path):
             fit = modeldist.fit_model(histo_path, cfg.k, 150)
             modeldist.write_outputs(fit, histo_path)
+        if cfg.min_cov:
+            # ModelDist still runs (interpret needs the .dist) but the
+            # cutoff is overridden and MaxHashDepth keeps its seed
+            # (runRufus.sh:873-876, :27)
+            return cfg.min_cov, cfg.max_hash_depth_seed
         with open(model_path) as f:
             lines = f.read().split("\n")
         kcutoff = int(lines[1])
         raw_sc = int(lines[3])
-        if cfg.exome:
-            mutant_min_cov = cfg.min_cov if cfg.min_cov else 5
-            max_hash_depth = 100000000
-        elif cfg.min_cov:
-            mutant_min_cov = cfg.min_cov
-            max_hash_depth = cfg.max_hash_depth_seed
-        else:
-            mutant_min_cov = kcutoff
-            max_hash_depth = raw_sc * 5
+        mutant_min_cov = kcutoff
+        max_hash_depth = raw_sc * 5
         if mutant_min_cov < 2:
             raise RuntimeError(
                 f"model couldn't pick a sensible lower cutoff ({mutant_min_cov})")
@@ -187,6 +195,63 @@ class RufusPipeline:
         return hl_path
 
     # -- stage 4: filter ----------------------------------------------------
+
+    def stage_filter_single(self, hl_path: str):
+        """Single-end filter (PassThroughSamCheck.stranded.se +
+        RUFUS.Filter.single, runRufus.sh:1016-1041)."""
+        import jax.numpy as jnp
+        from ..ops import filter as rfilter
+
+        cfg = self.cfg
+        out_path = cfg.wpath(cfg.subject_stub + ".Mutations.fastq")
+        if os.path.exists(out_path):
+            self._log("skipping filter (se)")
+            return out_path
+        keys_np = hio.hashlist_keys(hl_path, cfg.k)
+        self._hl_keys = keys_np
+        self._bloom = jnp.asarray(rfilter.build_bloom(keys_np))
+        kept = 0
+        thr = cfg.filter_k_threshold
+        with open(out_path, "w") as out:
+            buf = []
+
+            def flush():
+                nonlocal kept
+                if not buf:
+                    return
+                r, q, l = fastq.batch_reads([b[1] for b in buf],
+                                            [b[2] for b in buf],
+                                            pad_to=cfg.read_pad)
+                if len(keys_np) <= rfilter.SMALL_TABLE_MAX:
+                    h = np.asarray(rfilter.window_hits_small(
+                        jnp.asarray(r), jnp.asarray(q), jnp.asarray(l),
+                        jnp.asarray(keys_np), cfg.k, cfg.filter_min_q))
+                    idxs = np.nonzero(h >= thr)[0]
+                    verify = False
+                else:
+                    h = np.asarray(rfilter.window_candidate_hits(
+                        jnp.asarray(r), jnp.asarray(q), jnp.asarray(l),
+                        self._bloom, cfg.k, cfg.filter_min_q))
+                    idxs = np.nonzero(h >= thr)[0]
+                    verify = True
+                for i in idxs:
+                    n, s, qq = buf[i]
+                    if verify and rfilter.exact_hits_host(
+                            s, qq, keys_np, cfg.k, cfg.filter_min_q) < thr:
+                        continue
+                    out.write(f"@{n}\n{s}\n+\n{qq}\n")
+                    kept += 1
+                buf.clear()
+
+            for rec in bam.bam_to_single_fastq(cfg.subject):
+                buf.append(rec)
+                if len(buf) >= cfg.batch_size:
+                    flush()
+            flush()
+        if kept == 0:
+            raise RuntimeError("filter kept no reads")
+        self._log(f"filter kept {kept} reads (single-end)")
+        return out_path
 
     def stage_filter(self, hl_path: str):
         import jax.numpy as jnp
@@ -234,46 +299,67 @@ class RufusPipeline:
                                        pad_to=cfg.read_pad)
         r2, q2, l2 = fastq.batch_reads([p[3] for p in buf], [p[4] for p in buf],
                                        pad_to=cfg.read_pad)
-        # device Bloom pre-filter (superset), exact host verify of the rare
-        # candidates — keep set identical to the exact kernel
-        c1 = np.asarray(rfilter.window_candidate_hits(
-            jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1), self._bloom,
-            cfg.k, cfg.filter_min_q))
-        c2 = np.asarray(rfilter.window_candidate_hits(
-            jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2), self._bloom,
-            cfg.k, cfg.filter_min_q))
         thr = cfg.filter_k_threshold
+        if len(self._hl_keys) <= rfilter.SMALL_TABLE_MAX:
+            # small HashList (the typical de novo case): exact on device
+            keys_d = jnp.asarray(self._hl_keys)
+            c1 = np.asarray(rfilter.window_hits_small(
+                jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1), keys_d,
+                cfg.k, cfg.filter_min_q))
+            c2 = np.asarray(rfilter.window_hits_small(
+                jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2), keys_d,
+                cfg.k, cfg.filter_min_q))
+            keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
+            verify = False
+        else:
+            # device Bloom pre-filter (superset) + exact host verify of the
+            # rare candidates — keep set identical to the exact kernel
+            c1 = np.asarray(rfilter.window_candidate_hits(
+                jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1), self._bloom,
+                cfg.k, cfg.filter_min_q))
+            c2 = np.asarray(rfilter.window_candidate_hits(
+                jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2), self._bloom,
+                cfg.k, cfg.filter_min_q))
+            keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
+            verify = True
         kept = 0
-        for idx in np.nonzero((c1 >= thr) | (c2 >= thr))[0]:
+        for idx in keep_idx:
             p = buf[idx]
-            h1 = rfilter.exact_hits_host(p[1], p[2], self._hl_keys, cfg.k,
-                                         cfg.filter_min_q)
-            ok = h1 >= thr
-            if not ok:
-                h2 = rfilter.exact_hits_host(p[3], p[4], self._hl_keys, cfg.k,
+            if verify:
+                h1 = rfilter.exact_hits_host(p[1], p[2], self._hl_keys, cfg.k,
                                              cfg.filter_min_q)
-                ok = h2 >= thr
-            if ok:
-                f1.write(f"@{p[0]}\n{p[1]}\n+\n{p[2]}\n")
-                f2.write(f"@{p[0]}\n{p[3]}\n+\n{p[4]}\n")
-                kept += 1
+                ok = h1 >= thr
+                if not ok:
+                    h2 = rfilter.exact_hits_host(p[3], p[4], self._hl_keys,
+                                                 cfg.k, cfg.filter_min_q)
+                    ok = h2 >= thr
+                if not ok:
+                    continue
+            f1.write(f"@{p[0]}\n{p[1]}\n+\n{p[2]}\n")
+            f2.write(f"@{p[0]}\n{p[3]}\n+\n{p[4]}\n")
+            kept += 1
         return kept
 
     # -- stage 5: align mutant reads ---------------------------------------
 
-    def stage_align_reads(self, m1_path: str, m2_path: str):
+    def stage_align_reads(self, m1_path: str, m2_path: str | None):
         cfg = self.cfg
         sam_path = cfg.wpath(cfg.subject_stub + ".Mutations.fastq.sam")
         if os.path.exists(sam_path):
             self._log("skipping read alignment")
             return sam_path
         al = Aligner(self.ref_index())
-        pairs = [
-            (n1, s1, qq1, s2, qq2)
-            for (n1, s1, qq1), (_, s2, qq2) in zip(fastq.read_fastq(m1_path),
-                                                   fastq.read_fastq(m2_path))
-        ]
-        alns = rsam.sort_alignments(rsam.align_pairs(al, pairs))
+        if m2_path is None:  # single-end
+            alns = [al.align_seq(n, s, q)[0]
+                    for n, s, q in fastq.read_fastq(m1_path)]
+        else:
+            pairs = [
+                (n1, s1, qq1, s2, qq2)
+                for (n1, s1, qq1), (_, s2, qq2) in zip(fastq.read_fastq(m1_path),
+                                                       fastq.read_fastq(m2_path))
+            ]
+            alns = rsam.align_pairs(al, pairs)
+        alns = rsam.sort_alignments(alns)
         rsam.write_sam(sam_path, alns, self.ref_index())
         return sam_path
 
@@ -483,7 +569,11 @@ class RufusPipeline:
         hl_path = self.stage_hashlist(tables, mutant_min_cov, max_hash_depth)
         if cfg.stop_after == "hashlist":
             return hl_path
-        m1, m2 = self.stage_filter(hl_path)
+        if cfg.single_end:
+            m1 = self.stage_filter_single(hl_path)
+            m2 = None
+        else:
+            m1, m2 = self.stage_filter(hl_path)
         if cfg.stop_after == "filter":
             return m1
         sam_path = self.stage_align_reads(m1, m2)
