@@ -214,6 +214,36 @@ class KmerTable:
                 f.write(f"{s} {c}\n")
 
 
+def build_hashlist_4col(subject: KmerTable, parents: list[KmerTable],
+                        min_cov_subject: int, max_cov_control: int,
+                        max_coverage: int = 1200):
+    """Legacy RUFUS.Build path (RUFUS.Build.cpp:224-283): the streaming
+    merge-join of subject vs parent dumps becomes vectorized table queries.
+
+    Returns (keys, total_parent_depth, subject_count) for subject k-mers
+    with count in [min_cov_subject, max_coverage] and summed parent count
+    <= max_cov_control — rows of the 4-col HashList
+    `longhash \\t parentDepth \\t subjCount \\t kmer`.
+    """
+    keep = (subject.counts >= min_cov_subject) & (subject.counts <= max_coverage)
+    keys = subject.keys[keep]
+    scnt = subject.counts[keep]
+    total_par = np.zeros(len(keys), dtype=np.int64)
+    for p in parents:
+        total_par += p.query(keys)
+    keep2 = total_par <= max_cov_control
+    return keys[keep2], total_par[keep2], scnt[keep2]
+
+
+def population_filter(mutant: KmerTable, population: KmerTable,
+                      max_pop_depth: int):
+    """RUFUS.1kg.filter role: drop mutant k-mers whose population-table
+    count exceeds max_pop_depth (e.g. 1000-Genomes common k-mers)."""
+    pop = population.query(mutant.keys)
+    keep = pop <= max_pop_depth
+    return KmerTable(mutant.k, mutant.keys[keep], mutant.counts[keep])
+
+
 def subtract_unique(tables: list[KmerTable], merge_min: int = 5) -> np.ndarray:
     """K-mers present in EXACTLY ONE table with that table's count >= merge_min.
 

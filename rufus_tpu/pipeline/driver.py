@@ -557,6 +557,25 @@ class RufusPipeline:
             max_variant_size=cfg.max_allele_size,
         )
 
+    def regenotype(self, control_tables: list) -> str:
+        """Re-genotype existing contigs against new control tables
+        (scripts/Genotype.sh role): reruns the pull + interpret + polish
+        stages only, using the assembled contigs already in the workdir."""
+        cfg = self.cfg
+        contigs_path = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq")
+        if not os.path.exists(contigs_path):
+            raise FileNotFoundError("no assembled contigs to regenotype; "
+                                    "run the pipeline first")
+        tables = {
+            "subject": count.KmerTable.load(cfg.wpath(cfg.subject_stub + ".table.npz")),
+            "controls": control_tables,
+        }
+        inputs = self.stage_contig_align(contigs_path, tables)
+        vcf_path = self.stage_interpret(inputs)
+        final = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq.bam.FINAL.vcf")
+        polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
+        return final
+
     # -- full run -----------------------------------------------------------
 
     def run(self) -> str:
