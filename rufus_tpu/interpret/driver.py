@@ -1,10 +1,10 @@
 """Interpret driver: inputs -> VCF (RUFUS.interpret.cpp main, 5234-7737).
 
 Implemented: model/hash loading, SAM ingest, split-read linking, the
-single-contig SNV/indel path (parseMutations). The multi-contig SV passes
-(MOB insertions 5896-6089, DEL/DUP 6090-6327, BetterWay split merging
-3404-4418, BND cleanup 6416-7725) are staged as TODO hooks — the trio
-golden call is an SNV and exercises none of them.
+single-contig SNV/indel path (parseMutations), and the multi-contig SV
+passes — MOB insertions 5896-6089 and DEL/DUP 6090-6327 (`sv.py`),
+BetterWay split merging 3404-4418 (`betterway.py`), and the BND /
+inversion / LastDitch cleanup passes 6416-7725 (`sv_cleanup.py`).
 """
 
 from __future__ import annotations
@@ -155,7 +155,7 @@ def run_interpret(sam_lines, ref, dist_path: str, hashlist_path: str,
                   subject_alt_path: str, subject_ref_path: str,
                   exclude_path: str | None = None, mob_sam_path: str | None = None,
                   min_map_qual: int = 10, max_variant_size: int = 1000,
-                  file_date: int | None = None):
+                  file_date: int | None = None, seg_threshold: int | None = None):
     """Full interpret run. sam_lines: iterable of headerless-or-not SAM
     text lines (the `samtools view | AddSA | grep -v chrUn` stream plus
     optional @ header lines for ##contig emission)."""
@@ -169,6 +169,12 @@ def run_interpret(sam_lines, ref, dist_path: str, hashlist_path: str,
     ctx = Context(ref=ref, model=model, hashlist=hash_map, parent_hashes=[],
                   mutant_hashes={}, exclude_hashes={}, par_names=[], k=k,
                   min_map_qual=min_map_qual, max_variant_size=max_variant_size)
+    if seg_threshold is not None:
+        # `-as` flag (RUFUS.interpret.cpp:5338-5343): one value sets both
+        # the alignment-segment and cigar-segment thresholds; the long-read
+        # path runs with 1000 (Overlap.pacbio.sh final interpret call).
+        ctx.seg_threshold = seg_threshold
+        ctx.seg_threshold_cigar = seg_threshold
     for alt_p, ref_p in zip(parent_alt_paths, parent_ref_paths):
         m: dict[int, int] = {}
         _load_counts_file(alt_p, m, ctx.h2l)

@@ -475,3 +475,29 @@ def write_histo(path: str, histo_counts: np.ndarray):
     with open(path, "w") as f:
         for i in range(nb):
             f.write(f"{i}\t{out[i]}\n")
+
+
+def prob_not_error(dist_path: str, max_rows: int = 13):
+    """P(not error) per depth from a `.dist` file — one value per line.
+
+    GenerateProbNotError companion tool (scripts/GenerateProbNotError.cpp:
+    175-194, used only by the Genotype.sh regenotyping path): skip the 6
+    header lines of the .dist table, then for each of the first `max_rows`
+    data rows compute sum(copy-number columns 3..) / (that sum + the error
+    column 1).  Returns the list of floats; `prob_not_error_text` renders
+    them with C++ cout formatting for byte parity.
+    """
+    vals = []
+    with open(dist_path) as f:
+        lines = f.read().split("\n")
+    for line in lines[6:6 + max_rows]:
+        if not line:
+            break
+        cols = line.split("\t")
+        num = sum(float(c) for c in cols[3:] if c != "")
+        vals.append(num / (num + float(cols[1])))
+    return vals
+
+
+def prob_not_error_text(dist_path: str, max_rows: int = 13) -> str:
+    return "".join(_g(v) + "\n" for v in prob_not_error(dist_path, max_rows))

@@ -213,6 +213,43 @@ class KmerTable:
             for s, c in zip(codec.kmers_to_strs(self.keys, self.k), self.counts):
                 f.write(f"{s} {c}\n")
 
+    # flat binary layout: 4-byte magic, u64 k, u64 n, n*u64 keys, n*i64 counts
+    FLAT_MAGIC = b"RTK1"
+
+    def save_flat(self, path: str):
+        """Page-aligned-friendly flat table for out-of-core queries
+        (RUFUS.search.1kg.cpp role: its mmap+binary-search over a sorted
+        hash file, checkPage:135 / search:214, becomes np.memmap +
+        searchsorted — only O(log n) pages fault per lookup, so huge
+        population tables (1000-Genomes) never need to fit in RAM)."""
+        with open(path, "wb") as f:
+            f.write(self.FLAT_MAGIC)
+            np.array([self.k, len(self.keys)], dtype="<u8").tofile(f)
+            self.keys.astype("<u8").tofile(f)
+            self.counts.astype("<i8").tofile(f)
+
+    @classmethod
+    def load_flat(cls, path: str, mmap: bool = True):
+        """Open a flat table; with mmap=True the arrays are demand-paged
+        (searchsorted in `query` works on memmaps unchanged)."""
+        with open(path, "rb") as f:
+            if f.read(4) != cls.FLAT_MAGIC:
+                raise ValueError(f"{path}: not a flat k-mer table")
+            k, n = (int(v) for v in np.fromfile(f, dtype="<u8", count=2))
+        off = 4 + 16
+        if mmap:
+            keys = np.memmap(path, dtype="<u8", mode="r", offset=off, shape=(n,))
+            counts = np.memmap(path, dtype="<i8", mode="r", offset=off + 8 * n,
+                               shape=(n,))
+        else:
+            with open(path, "rb") as f:
+                f.seek(off)
+                keys = np.fromfile(f, dtype="<u8", count=n)
+                counts = np.fromfile(f, dtype="<i8", count=n)
+        t = cls.__new__(cls)
+        t.k, t.keys, t.counts = k, keys.view(np.uint64), counts.view(np.int64)
+        return t
+
 
 def build_hashlist_4col(subject: KmerTable, parents: list[KmerTable],
                         min_cov_subject: int, max_cov_control: int,

@@ -27,6 +27,7 @@ from ..models import modeldist
 from ..ops import codec, count
 from ..interpret import run_interpret
 from ..interpret.driver import load_mob_sam
+from ..utils import shims
 
 
 @dataclass
@@ -556,6 +557,80 @@ class RufusPipeline:
             inputs["mob_sam"], min_map_qual=10,
             max_variant_size=cfg.max_allele_size,
         )
+
+    # -- long-read (PacBio HiFi) path ---------------------------------------
+
+    def stage_assemble_longread(self, contigs_fasta: str, hl_path: str):
+        """Long-read contigs -> annotated hashcount fastq.
+
+        Overlap.pacbio.sh role (scripts/Overlap.pacbio.sh:75-90): the
+        short-read Overlap rounds are SKIPPED — HiFi contigs come from an
+        external assembler (the reference shells out to canu, which we do
+        not vendor; any assembly fasta works) or, failing that, the
+        accurate HiFi reads themselves serve as single-read contigs.  The
+        contigs go straight to AnnotateOverlap via the multiline-fasta ->
+        singleline-fastq shim (Overlap.pacbio.sh:89 uses
+        multiLineFastaToSingleLineFastq.pl exactly so).
+        """
+        cfg = self.cfg
+        ns = cfg.name_stub
+        out_path = cfg.wpath(ns + ".overlap.hashcount.fastq")
+        if os.path.exists(out_path):
+            self._log("skipping long-read annotate")
+            return out_path
+        if contigs_fasta.endswith((".fq", ".fastq")):
+            fq = [(n, s, q) for n, s, q in fastq.read_fastq(contigs_fasta)]
+        else:
+            with open(contigs_fasta) as fh:
+                fq_lines = list(shims.multiline_fasta_to_singleline_fastq(fh))
+            fq = [(fq_lines[i][1:], fq_lines[i + 1], fq_lines[i + 3])
+                  for i in range(0, len(fq_lines), 4)]
+        strs, cnts = hio.read_hashlist(hl_path)
+        ann, side = annotate.annotate_overlap(list(zip(strs, cnts)), fq, cfg.k)
+        if not ann:
+            raise RuntimeError("long-read assembly produced no contigs")
+        with open(out_path, "w") as f:
+            for n, s, q in ann:
+                f.write(f"@{n}\n{s}\n+\n{q}\n")
+        with open(cfg.wpath("TempOverlap", ns + ".overlap.asembly.hash.fastq"), "w") as f:
+            for l in side:
+                f.write(l + "\n")
+        return out_path
+
+    def run_longread(self, contigs_fasta: str | None = None) -> str:
+        """Full long-read pipeline: count/model/subtract as usual, then the
+        pacbio assembly+interpret variant (interpret runs with -mQ 1
+        -as 1000, Overlap.pacbio.sh:243-256)."""
+        cfg = self.cfg
+        tables = self.stage_count()
+        mutant_min_cov, max_hash_depth = self.stage_model()
+        hl_path = self.stage_hashlist(tables, mutant_min_cov, max_hash_depth)
+        if contigs_fasta is None:
+            # no external assembly: filter mutant reads and use them as
+            # single-read contigs (HiFi reads are accurate enough to call on)
+            contigs_fasta = self.stage_filter_single(hl_path)
+        contigs_path = self.stage_assemble_longread(contigs_fasta, hl_path)
+        inputs = self.stage_contig_align(contigs_path, tables)
+        out_stub = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq.bam")
+        dist_path = cfg.wpath(cfg.subject_stub + ".Jhash.histo.7.7.dist")
+
+        class RefWrap:
+            def __init__(self, contigs):
+                self.seqs = contigs
+
+            def contig_array(self, name):
+                return self.seqs[name]
+
+        vcf_path = run_interpret(
+            inputs["stdin_lines"], RefWrap(self.ref_contigs()), dist_path,
+            hl_path, out_stub, inputs["par_alt"], inputs["par_ref"],
+            inputs["subj_alt"], inputs["subj_ref"], inputs["rep_ref"],
+            inputs["mob_sam"], min_map_qual=1,
+            max_variant_size=cfg.max_allele_size, seg_threshold=1000,
+        )
+        final = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq.bam.FINAL.vcf")
+        polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
+        return final
 
     def regenotype(self, control_tables: list) -> str:
         """Re-genotype existing contigs against new control tables
