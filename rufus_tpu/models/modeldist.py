@@ -168,13 +168,16 @@ def _build_dist_cols(i_vals, size, SC, stdev, factor, skew, power, diploid=True)
 
 
 def _test_model(SC, stdev, factor, skew, power, histo2, inflection, max_copy,
-                ybar, log_mode: bool):
-    """testModel / testModelLog (ModelDist.cpp:71-304). Returns SSres(/Log)."""
+                ybar, log_mode: bool, diploid: bool = True):
+    """testModel / testModelLog (ModelDist.cpp:71-304; haploid variant
+    ModelDist.haploid.cpp:72-188 drops the het column — `if (Diploid)`
+    guards at 86, 128, 151). Returns SSres(/Log)."""
     size = len(histo2)
     if size / SC <= 1:
         return np.inf
     rows = np.arange(1, size)
-    dist, n_j = _build_dist_cols(rows, size, SC, stdev, factor, skew, power)
+    dist, n_j = _build_dist_cols(rows, size, SC, stdev, factor, skew, power,
+                                 diploid=diploid)
     # dist[i][col]: col1=het, col2..=SC*j. Normalization over j=1..C_loop-1
     # where C_loop = floor-ish count of the loop "j=1; j<size/SC": that loop
     # runs j=1..n_j, i.e. columns 1..n_j (skipping the last column n_j+1).

@@ -1,13 +1,29 @@
-"""Mesh-sharded k-mer pipeline steps (shard_map + XLA collectives).
+"""Mesh-sharded k-mer pipeline: device-resident prefix-sharded tables.
 
-Design (scaling-book style): pick a 1-D mesh over all chips; reads are
-data-sharded on the batch axis; count tables are sharded by k-mer PREFIX
-(top log2(n) bits of the canonical k-mer = owner shard), so per-batch
-counting is: local window+canonicalize -> bucket-by-owner into fixed
-capacity bins -> all_to_all over ICI -> local sort+RLE. Determinism: the
-table contents are independent of shard count (sorted-unique semantics);
-only bin-capacity overflow could drop k-mers, so capacity is sized to
-batch_kmers (lossless) by default.
+Design (scaling-book style): one 1-D mesh over all chips. Reads are
+data-sharded on the batch axis; each sample's count table is sharded by
+k-mer PREFIX (top log2(n) bits of the canonical k-mer = owner shard), so
+after one all_to_all per batch, *everything downstream is collective-free*:
+
+  count:    local window+canonicalize -> bucket-by-owner -> all_to_all
+            over ICI -> local sort+RLE                       (per batch)
+  fold:     local merge of the shard's running table with the batch RLE
+            (LSM fold, no collectives)
+  subtract: N samples' tables share the same prefix partition, so the
+            "present in exactly ONE sample && count >= 5" test
+            (reference modifiedJellyfish/jellyfish/merge_files.cc:69-153)
+            is a purely local concat+sort+runlength test per shard,
+            fused with the subject count-range filter
+            (CheckJellyHashList.sh:12)
+  query:    genotyping lookups are routed to their owner shard by
+            all_to_all, answered by local binary search, routed back
+  filter:   data-parallel over reads with the (small) mutant HashList
+            replicated (RUFUS.Filter.cpp:196-277 role)
+
+Determinism: table contents are sorted-unique and independent of shard
+count and batch boundaries (the parity requirement of SURVEY.md §7.3);
+tests assert exact equality of the sharded chain vs the single-device
+host path.
 """
 
 from __future__ import annotations
@@ -25,6 +41,8 @@ try:  # jax >= 0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+P = jax.sharding.PartitionSpec
+
 
 def make_mesh(n_devices: int | None = None, axis: str = "d"):
     devs = jax.devices()
@@ -32,36 +50,74 @@ def make_mesh(n_devices: int | None = None, axis: str = "d"):
     return jax.sharding.Mesh(np.array(devs[:n]), (axis,))
 
 
-def _bucket_by_owner(kmers, valid, n_shards: int, capacity: int):
-    """Route each kmer to its prefix-owner bin: returns (n_shards, capacity)
-    keys padded with SENTINEL. Overflow beyond capacity is dropped (callers
-    size capacity >= len(kmers) for lossless routing)."""
-    keys = jnp.where(valid, kmers, count.SENTINEL).ravel()
-    shift = jnp.uint64(64 - max(1, (n_shards - 1).bit_length()))
-    owner = jnp.where(
-        keys == count.SENTINEL,
-        n_shards,  # park invalid in a virtual overflow shard
-        (keys >> shift).astype(jnp.int32) % n_shards if n_shards > 1 else 0,
-    ).astype(jnp.int32)
+def _owner_shift(n_shards: int) -> int:
+    """Keys are partitioned by their top bits: owner = key >> shift (mod n).
+    The packing is MSB-first at bit 2k-1..0, so shift off all but the top
+    log2(n) *used* bits — but using the raw top of the u64 (bits 63..) is
+    wrong for k<32 (they're always 0). Use 2k-aware shift at call sites via
+    _owners(); this helper is the 64-bit fallback."""
+    return 64 - max(1, (n_shards - 1).bit_length())
+
+
+def _owners(keys, n_shards: int, k: int):
+    """Owner shard of each canonical k-mer: top bits of the 2k-bit value."""
+    if n_shards == 1:
+        return jnp.zeros(keys.shape, jnp.int32)
+    bits = max(1, (n_shards - 1).bit_length())
+    shift = jnp.uint64(2 * k - bits)
+    return ((keys >> shift).astype(jnp.int32)) % n_shards
+
+
+def _sort_pairs(keys, cnts):
+    """Sort (keys, cnts) by keys with native-width compares.
+
+    u64 compares are emulated on TPU (no 64-bit VPU lanes); splitting into
+    (hi, lo) u32 and using lax.sort with num_keys=2 keeps every compare in
+    native u32 — measurably faster than jnp.sort on u64 and exact."""
+    hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = keys.astype(jnp.uint32)
+    hi, lo, cnts = jax.lax.sort((hi, lo, cnts), num_keys=2)
+    return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64), cnts
+
+
+def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
+                     payload=None):
+    """Route keys (+ optional payload) into (n_shards, capacity) bins padded
+    with SENTINEL. Returns bins (and payload bins, and the (owner, rank)
+    coordinates of each input so callers can un-route replies).
+
+    Overflow beyond capacity is dropped; callers size capacity for lossless
+    routing (<= total keys)."""
+    n = keys_flat.shape[0]
     order = jnp.argsort(owner, stable=True)
-    keys_sorted = keys[order]
+    keys_sorted = keys_flat[order]
     owner_sorted = owner[order]
-    # rank within owner group
-    idx = jnp.arange(keys.shape[0])
+    idx = jnp.arange(n)
     starts = jnp.searchsorted(owner_sorted, jnp.arange(n_shards + 1))
     rank = idx - starts[owner_sorted]
-    bins = jnp.full((n_shards, capacity), count.SENTINEL, dtype=jnp.uint64)
     ok = (owner_sorted < n_shards) & (rank < capacity)
-    bins = bins.at[jnp.where(ok, owner_sorted, 0),
-                   jnp.where(ok, rank, 0)].set(
-        jnp.where(ok, keys_sorted, bins[0, 0]))
-    return bins
+    # not-ok entries are routed OUT OF BOUNDS and dropped by the scatter —
+    # parking them at a real bin like (0,0) would clobber a legitimate key
+    row = jnp.where(ok, owner_sorted, 0)
+    col = jnp.where(ok, rank, capacity)
+    bins = jnp.full((n_shards, capacity), count.SENTINEL, dtype=jnp.uint64)
+    bins = bins.at[row, col].set(keys_sorted, mode="drop")
+    pbins = None
+    if payload is not None:
+        pbins = jnp.zeros((n_shards, capacity), dtype=payload.dtype)
+        pbins = pbins.at[row, col].set(payload[order], mode="drop")
+    return bins, pbins, order, row, col, ok
+
+
+# ---------------------------------------------------------------------------
+# count: data-sharded reads -> prefix-sharded per-batch RLE
+# ---------------------------------------------------------------------------
 
 
 def sharded_count_step(mesh, k: int, capacity: int):
-    """Build a pjit-able step: (global reads (B, L) uint8, data-sharded) ->
-    per-shard sorted unique (keys, counts, n) for the shard's k-mer prefix
-    partition."""
+    """(global reads (B, L) uint8, data-sharded) -> per-shard sorted unique
+    (keys, counts, n) for the shard's k-mer prefix partition. One all_to_all
+    per batch; everything else local."""
     axis = mesh.axis_names[0]
     n = mesh.devices.size
 
@@ -69,27 +125,160 @@ def sharded_count_step(mesh, k: int, capacity: int):
         codes = codec.encode_bases(reads)
         kmers, valid = codec.pack_kmers(codes, k)
         canon = codec.canonical_kmers(kmers, k)
-        bins = _bucket_by_owner(canon, valid, n, capacity)  # (n, cap)
+        keys = jnp.where(valid, canon, count.SENTINEL).ravel()
+        owner = jnp.where(keys == count.SENTINEL, n, _owners(keys, n, k))
+        bins, _, _, _, _, _ = _bucket_by_owner(keys, owner, n, capacity)
         # exchange: shard i sends bins[j] to shard j
-        routed = jax.lax.all_to_all(bins[None], axis, split_axis=1,
-                                    concat_axis=0, tiled=False)
-        keys = routed.reshape(-1)
-        s = jnp.sort(keys)
+        if n > 1:
+            bins = jax.lax.all_to_all(bins[None], axis, split_axis=1,
+                                      concat_axis=0, tiled=False)
+        keys = bins.reshape(-1)
+        s, _ = _sort_pairs(keys, jnp.zeros(keys.shape, jnp.int32))
         ones = jnp.ones(s.shape, dtype=jnp.int64)
         uk, cnts, nn = count.rle_sum(s, ones)
+        # compact: sort by key again so real runs lead, SENTINEL pads trail
+        uk, cnts = _sort_pairs(uk, cnts)
         return uk[None], cnts[None], nn[None]
 
-    f = shard_map(
-        local, mesh=mesh,
-        in_specs=jax.sharding.PartitionSpec(axis),
-        out_specs=jax.sharding.PartitionSpec(axis),
-        check_vma=False,
-    )
+    f = shard_map(local, mesh=mesh, in_specs=P(axis),
+                  out_specs=P(axis), check_vma=False)
     return jax.jit(f)
 
 
+# ---------------------------------------------------------------------------
+# fold: LSM-merge a batch's sharded RLE into the running sharded table
+# ---------------------------------------------------------------------------
+
+
+def sharded_fold_step(mesh, table_cap: int):
+    """Local merge of the running per-shard table (S, table_cap) with a
+    batch's per-shard RLE (S, bcap) -> new (S, table_cap) table + per-shard
+    unique count (for overflow detection). Collective-free: both sides are
+    already prefix-sharded identically."""
+    axis = mesh.axis_names[0]
+
+    def local(tk, tc, bk, bc):
+        keys = jnp.concatenate([tk[0], bk[0]])
+        cnts = jnp.concatenate([tc[0], bc[0]])
+        keys, cnts = _sort_pairs(keys, cnts)
+        uk, us, nn = count.rle_sum(keys, cnts)
+        uk, us = _sort_pairs(uk, us)
+        return uk[None, :table_cap], us[None, :table_cap], nn[None]
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                  out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# subtract: N prefix-sharded tables -> mutant HashList (local per shard)
+# ---------------------------------------------------------------------------
+
+
+def sharded_subtract_step(mesh, n_samples: int):
+    """'Present in exactly ONE sample with count >= merge_min' over N
+    prefix-sharded tables, fused with the subject count-range filter.
+
+    Reference semantics: modified-merge (merge_files.cc:147-153) emits
+    k-mers occurring in exactly one input file with count >= 5; the
+    downstream `jellyfish query` vs the subject (CheckJellyHashList.sh:12)
+    then keeps only subject k-mers with count in [min_cov, max_depth].
+    Both steps are local per shard because every sample's table shares the
+    prefix partition — the payoff of prefix sharding: the trio subtract
+    needs ZERO collectives.
+
+    Input: lists of keys/counts arrays, each (S, cap_i), sample 0 =
+    subject. Output: (S, sum cap_i) mutant keys (SENTINEL-padded, sorted
+    per shard) and their subject counts."""
+    axis = mesh.axis_names[0]
+
+    def local(keys_list, cnts_list, merge_min, min_cov, max_depth):
+        keys = jnp.concatenate([k[0] for k in keys_list])
+        cnts = jnp.concatenate([c[0] for c in cnts_list])
+        keys, cnts = _sort_pairs(keys, cnts)
+        head = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]])
+        tail = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones(1, bool)])
+        singleton = head & tail & (keys != count.SENTINEL)
+        keep = singleton & (cnts >= merge_min)
+        mut = jnp.where(keep, keys, count.SENTINEL)
+        # subject count pull (local binary search on the subject shard table)
+        sk, sc = keys_list[0][0], cnts_list[0][0]
+        idx = jnp.searchsorted(sk, mut)
+        idx_c = jnp.minimum(idx, sk.shape[0] - 1)
+        scnt = jnp.where(sk[idx_c] == mut, sc[idx_c], 0)
+        keep = keep & (scnt >= min_cov) & (scnt <= max_depth)
+        mut = jnp.where(keep, keys, count.SENTINEL)
+        scnt = jnp.where(keep, scnt, 0)
+        mut, scnt = _sort_pairs(mut, scnt)
+        return mut[None], scnt[None]
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=([P(axis)] * n_samples, [P(axis)] * n_samples,
+                  P(), P(), P()),
+        out_specs=(P(axis), P(axis)), check_vma=False)
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# query: genotyping lookups routed to owner shards (all_to_all round trip)
+# ---------------------------------------------------------------------------
+
+
+def sharded_query_step(mesh, k: int, qcap: int):
+    """Point-lookup of data-sharded canonical k-mers against a prefix-
+    sharded table: bucket by owner, all_to_all, local searchsorted,
+    all_to_all back, un-route. Replaces `jellyfish query` pulls
+    (Overlap.shorter.sh:265-303) at pod scale.
+
+    queries: (S, Q) u64 data-sharded; table keys/counts (S, cap)
+    prefix-sharded. Returns (S, Q) i64 counts (0 when absent)."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    def local(queries, tk, tc):
+        q = queries.reshape(-1)
+        owner = _owners(q, n, k)
+        bins, _, order, row, col, ok = _bucket_by_owner(q, owner, n, qcap)
+        if n > 1:
+            routed = jax.lax.all_to_all(bins[None], axis, split_axis=1,
+                                        concat_axis=0, tiled=False)
+        else:
+            routed = bins[None]
+        rq = routed.reshape(n, qcap)
+        keys, cnts = tk[0], tc[0]
+        idx = jnp.searchsorted(keys, rq)
+        idx_c = jnp.minimum(idx, keys.shape[0] - 1)
+        ans = jnp.where(keys[idx_c] == rq, cnts[idx_c], 0)
+        if n > 1:
+            back = jax.lax.all_to_all(ans[None], axis, split_axis=1,
+                                      concat_axis=0, tiled=False)
+        else:
+            back = ans[None]
+        back = back.reshape(n, qcap)
+        got_sorted = jnp.where(ok, back[row, col], 0)
+        out = jnp.zeros(q.shape, dtype=back.dtype).at[order].set(got_sorted)
+        return out.reshape(queries.shape)[None]
+
+    f = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+                  out_specs=P(axis), check_vma=False)
+
+    def run(queries, tk, tc):
+        return f(queries, tk, tc)
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# filter: data-parallel reads, replicated mutant table
+# ---------------------------------------------------------------------------
+
+
 def sharded_filter_step(mesh, k: int, min_q: int, threshold: int):
-    """Data-parallel read filter with a replicated mutant table."""
+    """Data-parallel read filter with a replicated mutant table
+    (HashLists are small — tens to thousands of k-mers — so replication
+    beats routing every read window)."""
     axis = mesh.axis_names[0]
 
     def local(reads, quals, lens, table):
@@ -98,34 +287,110 @@ def sharded_filter_step(mesh, k: int, min_q: int, threshold: int):
         hits = rfilter.window_hits(reads, quals, lens, table, k, min_q)
         return hits >= threshold
 
-    f = shard_map(
-        local, mesh=mesh,
-        in_specs=(jax.sharding.PartitionSpec(axis),
-                  jax.sharding.PartitionSpec(axis),
-                  jax.sharding.PartitionSpec(axis),
-                  jax.sharding.PartitionSpec()),
-        out_specs=jax.sharding.PartitionSpec(axis),
-        check_vma=False,
-    )
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P(axis), P(axis), P(axis), P()),
+                  out_specs=P(axis), check_vma=False)
     return jax.jit(f)
 
 
-def sharded_subtract(mesh):
-    """Prefix-sharded 'present in exactly one sample' merge: tables already
-    prefix-sharded per sample -> per-shard subtraction is purely local
-    (no collectives needed — the payoff of prefix sharding)."""
+# ---------------------------------------------------------------------------
+# ShardedKmerTable: device-resident per-sample table over the mesh
+# ---------------------------------------------------------------------------
 
-    def local(keys_a, cnt_a, keys_b, cnt_b, merge_min):
-        # vectorized exactly-one-sample test over two sorted runs
-        keys = jnp.concatenate([keys_a, keys_b])
-        src = jnp.concatenate([jnp.zeros_like(cnt_a), jnp.ones_like(cnt_b)])
-        cnts = jnp.concatenate([cnt_a, cnt_b])
-        order = jnp.argsort(keys)
-        keys, cnts, src = keys[order], cnts[order], src[order]
-        head = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]])
-        tail = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones(1, bool)])
-        singleton = head & tail & (keys != count.SENTINEL)
-        keep = singleton & (cnts >= merge_min)
-        return jnp.where(keep, keys, count.SENTINEL), keep
 
-    return jax.jit(local)
+class ShardedKmerTable:
+    """A sample's count table living ON DEVICE, prefix-sharded over the
+    mesh: keys/counts are (n_shards, capacity) arrays sharded on axis 0,
+    each row sorted unique with SENTINEL padding.
+
+    The distributed equivalent of a `.Jhash`: built by folding per-batch
+    sharded count results (sharded_count_step -> sharded_fold_step), it
+    stays resident across the count -> subtract -> query stages so no
+    table bytes ever cross the host boundary until the (tiny) HashList is
+    materialized."""
+
+    def __init__(self, mesh, k: int, capacity: int):
+        self.mesh = mesh
+        self.k = k
+        self.capacity = capacity
+        axis = mesh.axis_names[0]
+        n = mesh.devices.size
+        self._sharding = jax.sharding.NamedSharding(mesh, P(axis))
+        self.keys = jax.device_put(
+            jnp.full((n, capacity), count.SENTINEL, jnp.uint64),
+            self._sharding)
+        self.counts = jax.device_put(
+            jnp.zeros((n, capacity), jnp.int64), self._sharding)
+        self.n_unique = jax.device_put(jnp.zeros((n,), jnp.int64),
+                                       self._sharding)
+        self._fold = sharded_fold_step(mesh, capacity)
+
+    def fold_batch(self, batch_keys, batch_counts):
+        """Merge one sharded per-batch RLE (from sharded_count_step) in.
+
+        The fold reports the true unique count BEFORE truncation, so
+        overflow is detected losslessly: the fold is retried after growing
+        the table (jellyfish's cooperative resize role,
+        hash_counter.hpp:52-56 — but deterministic: the retry produces the
+        identical table a bigger initial capacity would have)."""
+        while True:
+            nk, nc, nn = self._fold(self.keys, self.counts,
+                                    batch_keys, batch_counts)
+            if int(np.asarray(nn).max()) <= self.capacity:
+                self.keys, self.counts, self.n_unique = nk, nc, nn
+                return
+            self._grow()
+
+    def _grow(self):
+        """Double per-shard capacity in place (SENTINEL/zero padding)."""
+        old = self.capacity
+        self.capacity = old * 2
+        axis = self.mesh.axis_names[0]
+
+        def local(tk, tc):
+            pk = jnp.full((1, old), count.SENTINEL, jnp.uint64)
+            pc = jnp.zeros((1, old), jnp.int64)
+            return (jnp.concatenate([tk, pk], axis=1),
+                    jnp.concatenate([tc, pc], axis=1))
+
+        f = jax.jit(shard_map(local, mesh=self.mesh,
+                              in_specs=(P(axis), P(axis)),
+                              out_specs=(P(axis), P(axis)),
+                              check_vma=False))
+        self.keys, self.counts = f(self.keys, self.counts)
+        self._fold = sharded_fold_step(self.mesh, self.capacity)
+
+    def overflowed(self) -> bool:
+        """True if any shard's unique-key count hit capacity (keys beyond
+        capacity are truncated — caller must rebuild with a larger cap)."""
+        return bool(np.asarray(self.n_unique).max() > self.capacity)
+
+    def apply_lower_count(self, lower: int):
+        """jellyfish `count -L` floor (count_main.cc:320-330): drop k-mers
+        with final count < lower. Local per shard."""
+        if lower <= 1:
+            return
+        axis = self.mesh.axis_names[0]
+
+        def local(tk, tc):
+            keep = tc[0] >= lower
+            uk = jnp.where(keep, tk[0], count.SENTINEL)
+            us = jnp.where(keep, tc[0], 0)
+            uk, us = _sort_pairs(uk, us)
+            return uk[None], us[None], keep.sum(dtype=jnp.int64)[None]
+
+        f = jax.jit(shard_map(local, mesh=self.mesh,
+                              in_specs=(P(axis), P(axis)),
+                              out_specs=(P(axis), P(axis), P(axis)),
+                              check_vma=False))
+        self.keys, self.counts, self.n_unique = f(self.keys, self.counts)
+
+    def to_host(self) -> "count.KmerTable":
+        """Gather to a host KmerTable (sorted unique across shards —
+        prefix partitions are disjoint and ordered by owner bits)."""
+        keys = np.asarray(self.keys).ravel()
+        cnts = np.asarray(self.counts).ravel()
+        mask = keys != count.SENTINEL
+        keys, cnts = keys[mask], cnts[mask]
+        order = np.argsort(keys)  # owner bits aren't the topmost u64 bits
+        return count.KmerTable(self.k, keys[order], cnts[order])

@@ -36,6 +36,15 @@ class RufusConfig:
     genotype_max_cov: int = 100000  # Overlap.shorter.sh:20
     assembly_speed: str = "full"  # or "veryfast"
     stop_after: str = ""  # "jhash" | "hashlist" | "filter" (StJ/StH/StF)
+    sharded: str = "auto"  # "auto" | "on" | "off": mesh-sharded count/
+    # subtract/filter chain (auto = on when >1 jax device is visible)
+    clean: bool = False  # -CLEAN: purge intermediates after the run
+    # (runRufus.sh:351-356)
+    saliva: bool = False  # aligned-only mutant-read filter for saliva
+    # samples (runRufus.sh:1062-1076): drop unaligned reads before assembly
+    haploid: bool = False  # ModelDist.haploid fit (ModelDist.haploid.cpp:29)
+    table_cap0: int = 1 << 20  # initial per-shard device table capacity
+    # (grows on overflow, jellyfish cooperative-resize role)
 
     @property
     def subject_stub(self) -> str:

@@ -11,6 +11,8 @@ ops/; host work (assembly, interpret) mirrors the reference semantics.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -28,6 +30,7 @@ from ..ops import codec, count
 from ..interpret import run_interpret
 from ..interpret.driver import load_mob_sam
 from ..utils import shims
+from ..utils.trace import StageTimer, Throughput
 
 
 @dataclass
@@ -46,6 +49,21 @@ class RufusPipeline:
         self._ref_contigs = None
         self._ref_index = None
         self._log = print
+        self.trace = StageTimer(log_path=cfg.wpath("Intermediates",
+                                                   "trace.jsonl"))
+        # The device mesh: ALL stages' device work goes through the
+        # parallel/ sharded chain. With one device the chain degenerates
+        # to collective-free local kernels (all_to_all is skipped), so one
+        # code path serves single-chip bench and multi-chip pods alike.
+        import jax
+
+        from ..parallel import make_mesh
+
+        n = 1 if cfg.sharded == "off" else len(jax.devices())
+        self.mesh = make_mesh(n)
+        self.n_devices = n
+        self._dev_tables: dict = {}  # stub -> ShardedKmerTable (resident)
+        self._count_step = None
 
     # -- reference handling -------------------------------------------------
 
@@ -79,17 +97,12 @@ class RufusPipeline:
                 for _, s, _ in bam.bam_to_fastq(part):
                     yield s
 
-    def count_sample(self, path: str, stub: str, lower: int):
-        import jax.numpy as jnp
-
+    def _batch_stream(self, path: str):
+        """Yield fixed-shape (batch_size, read_pad) uint8 base matrices
+        (rows past the data are 'N' — invalid, produce no k-mers)."""
         cfg = self.cfg
-        table_path = self.cfg.wpath(stub + ".table.npz")
-        histo_path = self.cfg.wpath(stub + ".Jhash.histo")
-        if os.path.exists(table_path) and os.path.exists(histo_path):
-            self._log(f"skipping count for {stub}")
-            return count.KmerTable.load(table_path)
-        chunks = []
-        use_native = (not path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")))
+        use_native = (not path.endswith((".fastq", ".fq", ".fastq.gz",
+                                         ".fq.gz")))
         if use_native:
             try:
                 from ..io import native
@@ -98,48 +111,110 @@ class RufusPipeline:
             except Exception:
                 use_native = False
         if use_native:
-            # native batch decode: uint8 matrices straight to device
             while True:
                 seq, _, _ = nb.read_batch(cfg.batch_size, cfg.read_pad)
                 if len(seq) == 0:
                     break
-                if len(seq) < cfg.batch_size:  # pad to fixed shape for jit
+                if len(seq) < cfg.batch_size:
                     pad = np.full((cfg.batch_size - len(seq), cfg.read_pad),
                                   ord("N"), np.uint8)
                     seq = np.concatenate([seq, pad])
-                keys, counts, n = count.count_reads_batch(jnp.asarray(seq), cfg.k)
-                chunks.append((np.asarray(keys), np.asarray(counts), int(n)))
+                yield seq
         else:
             batch: list[str] = []
-
-            def flush():
-                if not batch:
-                    return
-                r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
-                keys, counts, n = count.count_reads_batch(jnp.asarray(r), cfg.k)
-                chunks.append((np.asarray(keys), np.asarray(counts), int(n)))
-                batch.clear()
-
-            for seq in self._read_stream(path):
-                batch.append(seq)
+            for s in self._read_stream(path):
+                batch.append(s)
                 if len(batch) >= cfg.batch_size:
-                    flush()
-            flush()
-        table = count.KmerTable.from_rle_chunks(cfg.k, chunks, lower_count=lower)
+                    r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
+                    yield r
+                    batch = []
+            if batch:
+                r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
+                pad = np.full((cfg.batch_size - len(r), cfg.read_pad),
+                              ord("N"), np.uint8)
+                yield np.concatenate([r, pad])
+
+    @staticmethod
+    def _prefetch(gen, depth: int = 3):
+        """Run a generator in a background thread so host decode overlaps
+        device work — the FIFO process-pipelining role (generator ->
+        PassThroughSamCheck -> jellyfish, RunJellyForRUFUS.sh:23-29) and
+        the single-chip answer to -pj per-sample jobs (runRufus.sh:766-797):
+        sample N+1's BAM decode proceeds under sample N's device folds."""
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        DONE = object()
+
+        def worker():
+            try:
+                for item in gen:
+                    q.put(item)
+                q.put(DONE)
+            except BaseException as e:  # surface decode errors in consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def count_sample(self, path: str, stub: str, lower: int):
+        """Count one sample's canonical k-mers into a device-resident
+        prefix-sharded table (jellyfish `count -C -L lower` role,
+        RunJellyForRUFUS.sh:28-29): stream batches -> sharded count step
+        (one all_to_all) -> local LSM fold. Host memory stays O(batch);
+        the table lives on device until gathered."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import ShardedKmerTable, sharded_count_step
+
+        cfg = self.cfg
+        table_path = self.cfg.wpath(stub + ".table.npz")
+        histo_path = self.cfg.wpath(stub + ".Jhash.histo")
+        if os.path.exists(table_path) and os.path.exists(histo_path):
+            self._log(f"skipping count for {stub}")
+            return count.KmerTable.load(table_path)
+        mesh = self.mesh
+        if self._count_step is None:
+            bcap = (cfg.batch_size // self.n_devices) * \
+                (cfg.read_pad - cfg.k + 1)
+            self._count_step = sharded_count_step(mesh, cfg.k, bcap)
+        sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
+        dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
+        meter = Throughput(name=f"count[{stub}] reads")
+        for seq in self._prefetch(self._batch_stream(path)):
+            bk, bc, _ = self._count_step(
+                jax.device_put(jnp.asarray(seq), sharding))
+            dev.fold_batch(bk, bc)
+            meter.add(seq.shape[0])
+        if lower > 1:
+            dev.apply_lower_count(lower)
+        table = dev.to_host()
         if len(table) == 0:
             raise RuntimeError(f"counting produced no kmers for {path}")
+        self._dev_tables[stub] = dev
         table.save(table_path)
         modeldist.write_histo(histo_path, table.histo())
+        self._log(f"count[{stub}]: {len(table)} unique kmers, "
+                  f"{meter.rate():.0f} reads/s")
         return table
 
     def stage_count(self):
         cfg = self.cfg
-        tables = {"subject": self.count_sample(cfg.subject, cfg.subject_stub,
-                                               cfg.subject_low_k)}
-        tables["controls"] = [
-            self.count_sample(c, cfg.control_stub(c), cfg.par_low_k)
-            for c in cfg.controls
-        ]
+        with self.trace.stage("count", samples=1 + len(cfg.controls),
+                              devices=self.n_devices):
+            tables = {"subject": self.count_sample(
+                cfg.subject, cfg.subject_stub, cfg.subject_low_k)}
+            tables["controls"] = [
+                self.count_sample(c, cfg.control_stub(c), cfg.par_low_k)
+                for c in cfg.controls
+            ]
         return tables
 
     # -- stage 2: model -----------------------------------------------------
@@ -182,16 +257,47 @@ class RufusPipeline:
         if os.path.exists(hl_path):
             self._log("skipping hashlist")
             return hl_path
-        mut = count.subtract_unique([tables["subject"]] + tables["controls"],
-                                    merge_min=cfg.merge_min)
-        if cfg.exclude_hash and os.path.exists(cfg.exclude_hash):
-            ex = count.KmerTable.load(cfg.exclude_hash)
-            keep = ex.query(mut) == 0
-            mut = mut[keep]
-        subj = tables["subject"].query(mut)
-        keep = (subj >= mutant_min_cov) & (subj <= max_hash_depth)
-        hio.write_hashlist(hl_path, mut[keep], subj[keep], cfg.k)
-        if not keep.any():
+        stubs = [cfg.subject_stub] + [cfg.control_stub(c)
+                                      for c in cfg.controls]
+        with self.trace.stage("hashlist", devices=self.n_devices) as rec:
+            if all(s in self._dev_tables for s in stubs):
+                # device path: tables stayed resident after counting; the
+                # modified-merge + subject range filter is collective-free
+                # per shard (sharded_subtract_step docstring)
+                import jax.numpy as jnp
+
+                from ..parallel import sharded_subtract_step
+
+                devs = [self._dev_tables[s] for s in stubs]
+                sub = sharded_subtract_step(self.mesh, len(devs))
+                mut_d, scnt_d = sub([d.keys for d in devs],
+                                    [d.counts for d in devs],
+                                    jnp.int64(cfg.merge_min),
+                                    jnp.int64(mutant_min_cov),
+                                    jnp.int64(max_hash_depth))
+                mut = np.asarray(mut_d).ravel()
+                scnt = np.asarray(scnt_d).ravel()
+                mask = mut != count.SENTINEL
+                mut, subj = mut[mask], scnt[mask]
+                order = np.argsort(mut)
+                mut, subj = mut[order], subj[order]
+                rec["path"] = "sharded"
+            else:
+                # host fallback (resume: tables loaded from npz)
+                mut = count.subtract_unique(
+                    [tables["subject"]] + tables["controls"],
+                    merge_min=cfg.merge_min)
+                subj = tables["subject"].query(mut)
+                keep = (subj >= mutant_min_cov) & (subj <= max_hash_depth)
+                mut, subj = mut[keep], subj[keep]
+                rec["path"] = "host"
+            if cfg.exclude_hash and os.path.exists(cfg.exclude_hash):
+                ex = count.KmerTable.load(cfg.exclude_hash)
+                keep = ex.query(mut) == 0
+                mut, subj = mut[keep], subj[keep]
+            hio.write_hashlist(hl_path, mut, subj, cfg.k)
+            rec["n_mutant"] = int(len(mut))
+        if len(mut) == 0:
             raise RuntimeError("empty HashList: no subject-unique kmers")
         return hl_path
 
@@ -223,7 +329,11 @@ class RufusPipeline:
                 r, q, l = fastq.batch_reads([b[1] for b in buf],
                                             [b[2] for b in buf],
                                             pad_to=cfg.read_pad)
-                if len(keys_np) <= rfilter.SMALL_TABLE_MAX:
+                if self.n_devices > 1:
+                    keep = self._filter_sharded(r, q, l)
+                    idxs = np.nonzero(keep)[0]
+                    verify = False
+                elif len(keys_np) <= rfilter.SMALL_TABLE_MAX:
                     h = np.asarray(rfilter.window_hits_small(
                         jnp.asarray(r), jnp.asarray(q), jnp.asarray(l),
                         jnp.asarray(keys_np), cfg.k, cfg.filter_min_q))
@@ -291,6 +401,39 @@ class RufusPipeline:
         for (n1, s1, q1), (_, s2, q2) in zip(fastq.read_fastq(a), fastq.read_fastq(b)):
             yield n1.split()[0], s1, q1, s2, q2
 
+    def _filter_sharded(self, r, q, l):
+        """Data-parallel exact filter over the mesh (replicated HashList);
+        returns per-read hit counts >= threshold as a bool mask."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import sharded_filter_step
+
+        cfg = self.cfg
+        if getattr(self, "_fstep", None) is None:
+            self._fstep = sharded_filter_step(self.mesh, cfg.k,
+                                              cfg.filter_min_q,
+                                              cfg.filter_k_threshold)
+        n = self.n_devices
+        B = r.shape[0]
+        pad = (-B) % n
+        if pad:
+            r = np.concatenate([r, np.full((pad, r.shape[1]), ord("N"),
+                                           np.uint8)])
+            q = np.concatenate([q, np.full((pad, q.shape[1]), ord("!"),
+                                           np.uint8)])
+            l = np.concatenate([l, np.zeros(pad, l.dtype)])
+        sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
+        rep = jax.sharding.NamedSharding(self.mesh,
+                                         jax.sharding.PartitionSpec())
+        keep = np.asarray(self._fstep(
+            jax.device_put(jnp.asarray(r), sh),
+            jax.device_put(jnp.asarray(q), sh),
+            jax.device_put(jnp.asarray(l), sh),
+            jax.device_put(jnp.asarray(self._hl_keys), rep)))
+        return keep[:B]
+
     def _filter_batch(self, buf, keys, f1, f2) -> int:
         import jax.numpy as jnp
         from ..ops import filter as rfilter
@@ -301,7 +444,12 @@ class RufusPipeline:
         r2, q2, l2 = fastq.batch_reads([p[3] for p in buf], [p[4] for p in buf],
                                        pad_to=cfg.read_pad)
         thr = cfg.filter_k_threshold
-        if len(self._hl_keys) <= rfilter.SMALL_TABLE_MAX:
+        if self.n_devices > 1:
+            # multi-chip: exact data-parallel filter over the mesh
+            keep_idx = np.nonzero(self._filter_sharded(r1, q1, l1)
+                                  | self._filter_sharded(r2, q2, l2))[0]
+            verify = False
+        elif len(self._hl_keys) <= rfilter.SMALL_TABLE_MAX:
             # small HashList (the typical de novo case): exact on device
             keys_d = jnp.asarray(self._hl_keys)
             c1 = np.asarray(rfilter.window_hits_small(
@@ -655,26 +803,35 @@ class RufusPipeline:
 
     def run(self) -> str:
         cfg = self.cfg
+        t = self.trace
         tables = self.stage_count()
         if cfg.stop_after == "jhash":
             return ""
-        mutant_min_cov, max_hash_depth = self.stage_model()
+        with t.stage("model"):
+            mutant_min_cov, max_hash_depth = self.stage_model()
         self._log(f"MutantMinCov={mutant_min_cov} MaxHashDepth={max_hash_depth}")
         hl_path = self.stage_hashlist(tables, mutant_min_cov, max_hash_depth)
         if cfg.stop_after == "hashlist":
             return hl_path
-        if cfg.single_end:
-            m1 = self.stage_filter_single(hl_path)
-            m2 = None
-        else:
-            m1, m2 = self.stage_filter(hl_path)
+        with t.stage("filter", devices=self.n_devices):
+            if cfg.single_end:
+                m1 = self.stage_filter_single(hl_path)
+                m2 = None
+            else:
+                m1, m2 = self.stage_filter(hl_path)
         if cfg.stop_after == "filter":
             return m1
-        sam_path = self.stage_align_reads(m1, m2)
-        contigs_path = self.stage_assemble(sam_path, hl_path)
-        inputs = self.stage_contig_align(contigs_path, tables)
-        vcf_path = self.stage_interpret(inputs)
+        with t.stage("align_reads"):
+            sam_path = self.stage_align_reads(m1, m2)
+        with t.stage("assemble"):
+            contigs_path = self.stage_assemble(sam_path, hl_path)
+        with t.stage("contig_align"):
+            inputs = self.stage_contig_align(contigs_path, tables)
+        with t.stage("interpret"):
+            vcf_path = self.stage_interpret(inputs)
         final = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq.bam.FINAL.vcf")
-        polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
+        with t.stage("polish"):
+            polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
         self._log(f"FINAL VCF: {final}")
+        self._log(self.trace.summary())
         return final

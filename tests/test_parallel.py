@@ -1,9 +1,18 @@
 """Mesh-sharded pipeline steps on the 8-device virtual CPU mesh.
 
-Checks (a) the prefix-sharded count produces exactly the single-device
-table (shard-count independence — the parity requirement of SURVEY.md
-section 7.3), (b) the sharded filter matches the exact kernel, (c) the
-collective-free sharded subtraction semantics.
+Checks the full sharded chain is EXACTLY shard-count independent (the
+parity requirement of SURVEY.md section 7.3):
+
+(a) prefix-sharded count+fold produces the identical table to the
+    single-device host build, at every mesh size;
+(b) the collective-free N-table subtract matches host subtract_unique +
+    subject-range filter (merge_files.cc:147-153 + CheckJellyHashList.sh:12
+    fused semantics);
+(c) routed genotype queries match host KmerTable.query;
+(d) the sharded filter matches the exact kernel AND keeps planted mutant
+    reads (keep > 0 — behavior, not just shapes);
+(e) end-to-end: count -> fold -> subtract -> filter on a planted trio
+    recovers the planted mutant k-mers at 1, 2, 4 and 8 devices.
 """
 
 import numpy as np
@@ -12,78 +21,186 @@ import jax.numpy as jnp
 import pytest
 
 from rufus_tpu.ops import codec, count, filter as rfilter
-from rufus_tpu.parallel import (make_mesh, sharded_count_step,
-                                sharded_filter_step, sharded_subtract)
+from rufus_tpu.parallel import (ShardedKmerTable, make_mesh,
+                                sharded_count_step, sharded_filter_step,
+                                sharded_query_step, sharded_subtract_step)
 
 needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _shard(mesh, arr):
+    return jax.device_put(
+        jnp.asarray(arr),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d")))
+
+
+def _host_table(reads, k, lower=0):
+    keys, counts, _ = count.count_reads_batch(jnp.asarray(reads), k)
+    return count.KmerTable.from_rle_chunks(
+        k, [(np.asarray(keys), np.asarray(counts), 0)], lower_count=lower)
+
+
+def _build_sharded(mesh, reads, k, cap, batches=2, lower=0):
+    """Stream `reads` through sharded count in `batches` chunks, folding."""
+    n_dev = mesh.devices.size
+    B = reads.shape[0]
+    step = None
+    table = ShardedKmerTable(mesh, k, cap)
+    per = B // batches
+    for i in range(batches):
+        chunk = reads[i * per : (i + 1) * per]
+        if step is None:
+            bcap = (chunk.shape[0] // n_dev) * (reads.shape[1] - k + 1)
+            step = sharded_count_step(mesh, k, bcap)
+        bk, bc, _ = step(_shard(mesh, chunk))
+        table.fold_batch(bk, bc)
+    if lower > 1:
+        table.apply_lower_count(lower)
+    assert not table.overflowed()
+    return table
+
 
 @needs_mesh
-def test_sharded_count_matches_single_device():
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_count_fold_matches_host(n_dev):
     k = 13
-    n_dev = 8
-    B, L = 8 * n_dev, 48
+    B, L = 16 * 8, 48
     rng = np.random.default_rng(0)
-    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
+    reads = rng.choice(BASES, size=(B, L))
     mesh = make_mesh(n_dev)
-    cap = (B // n_dev) * (L - k + 1)
-    step = sharded_count_step(mesh, k, cap)
-    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d"))
-    keys, counts, n = step(jax.device_put(jnp.asarray(reads), sharding))
-    keys = np.asarray(keys).ravel()
-    counts = np.asarray(counts).ravel()
-    mask = keys != count.SENTINEL
-    got = dict(zip(keys[mask].tolist(), counts[mask].tolist()))
-
-    ref_keys, ref_counts, _ = count.count_reads_batch(jnp.asarray(reads), k)
-    ref_keys = np.asarray(ref_keys)
-    ref_counts = np.asarray(ref_counts)
-    rmask = ref_keys != count.SENTINEL
-    want = dict(zip(ref_keys[rmask].tolist(), ref_counts[rmask].tolist()))
-    assert got == want
+    table = _build_sharded(mesh, reads, k, cap=B * (L - k + 1), batches=4)
+    host = table.to_host()
+    want = _host_table(reads, k)
+    np.testing.assert_array_equal(host.keys, want.keys)
+    np.testing.assert_array_equal(host.counts, want.counts)
 
 
 @needs_mesh
-def test_sharded_filter_matches_exact():
+def test_sharded_lower_count_floor():
     k = 11
-    n_dev = 8
-    B, L = 16 * n_dev, 64
-    rng = np.random.default_rng(1)
-    reads = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, L))
-    quals = np.full((B, L), ord("I"), np.uint8)
-    lens = np.full(B, L, np.int32)
-    tbl = set()
-    for _ in range(10):
-        i = int(rng.integers(0, B))
-        j = int(rng.integers(0, L - k))
-        tbl.add(codec.canonical_str(reads[i, j : j + k].tobytes().decode()))
-    keys = np.sort(np.array([codec.str_to_kmer(s) for s in sorted(tbl)],
-                            dtype=np.uint64))
+    rng = np.random.default_rng(3)
+    reads = rng.choice(BASES, size=(32, 40))
+    reads = np.concatenate([reads, reads[:8]])  # force some counts >= 2
+    reads = np.concatenate([reads, np.full((8, 40), ord("N"), np.uint8)])
+    mesh = make_mesh(4)
+    t = _build_sharded(mesh, reads, k, cap=reads.size, batches=2, lower=2)
+    want = _host_table(reads, k, lower=2)
+    host = t.to_host()
+    np.testing.assert_array_equal(host.keys, want.keys)
+    np.testing.assert_array_equal(host.counts, want.counts)
+
+
+def _planted_trio(rng, k, B, L, n_mut_reads=8):
+    """Subject reads contain a planted mutant region absent from controls;
+    each sample repeated so counts clear merge_min."""
+    base = rng.choice(BASES, size=(B, L))
+    mother = np.repeat(base[: B // 2], 6, axis=0)[:B]
+    father = np.repeat(base[B // 2 :], 6, axis=0)[:B]
+    subject = np.concatenate([mother[: B // 2], father[: B // 2]])
+    mutant = rng.choice(BASES, size=(L,))
+    mut_reads = np.tile(mutant, (n_mut_reads, 1))
+    subject = np.concatenate([subject[:-n_mut_reads], mut_reads])
+    # mutant canonical k-mers (the expected HashList)
+    s = mutant.tobytes().decode()
+    want = sorted({codec.str_to_kmer(codec.canonical_str(s[i:i + k]))
+                   for i in range(L - k + 1)})
+    return subject, mother, father, np.array(want, np.uint64), mut_reads
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_sharded_chain_end_to_end(n_dev):
+    """count -> fold -> subtract(+range) -> filter, planted mutants."""
+    k = 13
+    B, L = 64, 48
+    rng = np.random.default_rng(7)
+    subject, mother, father, want_mut, mut_reads = _planted_trio(rng, k, B, L)
     mesh = make_mesh(n_dev)
-    step = sharded_filter_step(mesh, k, 15, 1)
-    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d"))
+    cap = 2 * B * (L - k + 1)
+    tables = [_build_sharded(mesh, r, k, cap, batches=2)
+              for r in (subject, mother, father)]
+
+    sub = sharded_subtract_step(mesh, 3)
+    mut, scnt = sub([t.keys for t in tables], [t.counts for t in tables],
+                    jnp.int64(5), jnp.int64(5), jnp.int64(10000))
+    mut = np.asarray(mut).ravel()
+    scnt = np.asarray(scnt).ravel()
+    mask = mut != count.SENTINEL
+    got = np.sort(mut[mask])
+
+    # host reference: subtract_unique + subject range filter
+    host_tabs = [t.to_host() for t in tables]
+    ref = count.subtract_unique(host_tabs, merge_min=5)
+    sc = host_tabs[0].query(ref)
+    ref = ref[(sc >= 5) & (sc <= 10000)]
+    np.testing.assert_array_equal(got, ref)
+    # the planted k-mers are recovered (behavior, not just shapes)
+    assert set(want_mut.tolist()) <= set(got.tolist())
+    assert (scnt[mask] >= 5).all()
+
+    # sharded filter keeps the mutant reads and matches the exact kernel
+    hl = np.sort(got)
+    quals = np.full(subject.shape, ord("I"), np.uint8)
+    lens = np.full(B, L, np.int32)
+    fstep = sharded_filter_step(mesh, k, 15, 1)
     rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-    keep = np.asarray(step(
-        jax.device_put(jnp.asarray(reads), sh),
-        jax.device_put(jnp.asarray(quals), sh),
-        jax.device_put(jnp.asarray(lens), sh),
-        jax.device_put(jnp.asarray(keys), rep)))
+    keep = np.asarray(fstep(_shard(mesh, subject), _shard(mesh, quals),
+                            _shard(mesh, lens),
+                            jax.device_put(jnp.asarray(hl), rep)))
     exact = np.asarray(rfilter.window_hits(
-        jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
-        jnp.asarray(keys), k, 15)) >= 1
+        jnp.asarray(subject), jnp.asarray(quals), jnp.asarray(lens),
+        jnp.asarray(hl), k, 15)) >= 1
     np.testing.assert_array_equal(keep, exact)
+    assert keep[-mut_reads.shape[0]:].all(), "planted mutant reads kept"
+    assert keep.sum() >= mut_reads.shape[0]
 
 
-def test_sharded_subtract_semantics():
-    mesh = make_mesh(1)
-    f = sharded_subtract(mesh)
-    a_keys = jnp.asarray(np.array([5, 9, 12], np.uint64))
-    a_cnt = jnp.asarray(np.array([6, 4, 9], np.int64))
-    b_keys = jnp.asarray(np.array([9, 30], np.uint64))
-    b_cnt = jnp.asarray(np.array([3, 8], np.int64))
-    keys, keep = f(a_keys, a_cnt, b_keys, b_cnt, 5)
-    got = sorted(np.asarray(keys)[np.asarray(keep)].tolist())
-    # unique-to-one-table with count>=5: 5 (cnt 6) and 30 (cnt 8); 9 is in
-    # both, 12 unique but cnt 9>=5 -> kept too
-    assert got == [5, 12, 30]
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_query_matches_host(n_dev):
+    k = 13
+    B, L = 64, 48
+    rng = np.random.default_rng(11)
+    reads = rng.choice(BASES, size=(B, L))
+    mesh = make_mesh(n_dev)
+    table = _build_sharded(mesh, reads, k, cap=B * (L - k + 1))
+    host = table.to_host()
+    # queries: half real k-mers, half random (mostly absent)
+    q_real = host.keys[rng.integers(0, len(host.keys), size=24)]
+    q_rand = rng.integers(0, 1 << (2 * k), size=24, dtype=np.uint64)
+    canon = np.asarray(codec.canonical_kmers(jnp.asarray(q_rand), k))
+    queries = np.concatenate([q_real, canon])
+    rng.shuffle(queries)
+    Q = len(queries) // n_dev
+    qstep = sharded_query_step(mesh, k, qcap=Q * n_dev)
+    got = np.asarray(qstep(_shard(mesh, queries.reshape(n_dev * 2, -1)),
+                           table.keys, table.counts)).ravel()
+    want = host.query(queries)
+    np.testing.assert_array_equal(got, want)
+
+
+@needs_mesh
+def test_sharded_table_grows_on_overflow():
+    """Tiny initial capacity: the fold must grow losslessly (cooperative-
+    resize role, hash_counter.hpp:52-56) and still match the host table."""
+    k = 11
+    B, L = 32, 48
+    rng = np.random.default_rng(5)
+    reads = rng.choice(BASES, size=(B, L))
+    mesh = make_mesh(4)
+    n_dev = 4
+    bcap = (B // 2 // n_dev) * (L - k + 1)
+    step = sharded_count_step(mesh, k, bcap)
+    table = ShardedKmerTable(mesh, k, capacity=16)  # absurdly small
+    for i in range(2):
+        bk, bc, _ = step(_shard(mesh, reads[i * (B // 2):(i + 1) * (B // 2)]))
+        table.fold_batch(bk, bc)
+    assert table.capacity > 16
+    assert not table.overflowed()
+    host = table.to_host()
+    want = _host_table(reads, k)
+    np.testing.assert_array_equal(host.keys, want.keys)
+    np.testing.assert_array_equal(host.counts, want.counts)
