@@ -60,6 +60,76 @@ def align_pairs(aligner: Aligner, pairs):
     return out
 
 
+FLAG_DUP = 0x400
+
+
+def _unclipped_sig(a):
+    """(ref_id, unclipped 5' position, strand) signature of one mate.
+
+    samblaster's read signature: the 5' sequencing end projected through
+    clipping — forward reads anchor at pos minus leading soft/hard clips,
+    reverse reads at the alignment end plus trailing clips, so duplicates
+    collide regardless of how the aligner clipped them."""
+    if a.is_unmapped:
+        return None
+    cig = a.cigar or []
+    lead = 0
+    for n, op in cig:
+        if op in "SH":
+            lead += n
+        else:
+            break
+    trail = 0
+    for n, op in reversed(cig):
+        if op in "SH":
+            trail += n
+        else:
+            break
+    if a.is_reverse:
+        span = sum(n for n, op in cig if op in "MDN=X")
+        return (a.ref_id, a.pos + span + trail, 1)
+    return (a.ref_id, a.pos - lead, 0)
+
+
+def mark_duplicates(alns):
+    """Flag duplicate read pairs (samblaster's role in the mutant-read
+    alignment pipe, runRufus.sh:1000: `bwa mem | samblaster | samtools
+    sort`).
+
+    Pairs whose two mates share (ref, unclipped 5' pos, strand) signatures
+    with an earlier pair get FLAG_DUP on both mates; the first pair seen
+    wins. Orphan pairs (one mate unmapped) key on the mapped signature
+    alone, separately from full pairs, like samblaster's orphan bucket.
+    Dup-flagged reads are then rejected by assembly (OverlapSam.cpp:736-741
+    semantics in assembly/overlap_sam.py), keeping contig depths clean of
+    PCR duplicates. Returns (new list, n pairs marked)."""
+    by_name: dict[str, list] = {}
+    order: list[str] = []
+    for a in alns:
+        if a.qname not in by_name:
+            order.append(a.qname)
+        by_name.setdefault(a.qname, []).append(a)
+    seen: set = set()
+    marked = 0
+    out_map: dict[int, object] = {}
+    for name in order:
+        group = by_name[name]
+        sigs = sorted((s for a in group if (s := _unclipped_sig(a))),
+                      key=lambda t: (t[0], t[1], t[2]))
+        if not sigs:
+            continue
+        key = ("orphan" if len(sigs) < 2 else "pair", tuple(sigs))
+        if key in seen:
+            for a in group:
+                out_map[id(a)] = replace(a, flag=a.flag | FLAG_DUP)
+            marked += 1
+        else:
+            seen.add(key)
+    if not out_map:
+        return list(alns), 0
+    return [out_map.get(id(a), a) for a in alns], marked
+
+
 def sort_alignments(alns):
     """samtools-sort coordinate order: (ref_id, pos), unmapped last; stable."""
     mapped = [a for a in alns if not a.is_unmapped]

@@ -136,30 +136,72 @@ def _parse_records(raw: bytes, off: int) -> Iterator[BamRecord]:
                         next_ref_id, next_pos, tlen)
 
 
-def bam_to_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
+# stream-completion sentinel written as the progress file's last line on a
+# CLEAN end of stream; checked like RunRUFUS.Trio.sh:77's
+# `tail -n 1 $gen.filter.chr = "booya"`
+STREAM_SENTINEL = "booya"
+
+
+def _progress_records(records, refs, progress_path: str):
+    """Chromosome-progress side channel (PassThroughSamCheck.cpp:30-158):
+    each chromosome transition logs the PREVIOUS chromosome (starting from
+    "notachr"); a clean end of stream logs the final chromosome and the
+    completion sentinel. An abandoned/crashed stream leaves the file
+    without the sentinel, which `stream_complete` detects on resume."""
+    current = "notachr"
+    with open(progress_path, "w", buffering=1) as pf:
+        for r in records:
+            chrom = (refs[r.ref_id][0] if 0 <= r.ref_id < len(refs) else "*")
+            if chrom != current:
+                pf.write(current + "\n")
+                current = chrom
+            yield r
+        pf.write(current + "\n")
+        pf.write(STREAM_SENTINEL + "\n")
+
+
+def stream_complete(progress_path: str) -> bool:
+    """True iff the progress file ends with the completion sentinel."""
+    try:
+        with open(progress_path) as f:
+            lines = [l for l in f.read().split("\n") if l]
+    except OSError:
+        return False
+    return bool(lines) and lines[-1] == STREAM_SENTINEL
+
+
+def bam_to_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE,
+                 progress_path: str | None = None):
     """Unpaired pass-through: BAM -> (name, seq, qual) stream, as-is.
 
     Matches `samtools view -F 3328 | PassThroughSamCheck` feeding jellyfish
     (reference: RunJellyForRUFUS.sh:28; PassThroughSamCheck.cpp:147-153 —
-    no strand fix; canonical counting is orientation-free).
+    no strand fix; canonical counting is orientation-free). progress_path
+    writes the chromosome-progress file (<gen>.Jelly.chr role).
     """
-    _, records = read_bam(path)
+    refs, records = read_bam(path)
+    if progress_path:
+        records = _progress_records(records, refs, progress_path)
     for r in records:
         if r.flag & exclude_flags:
             continue
         yield r.name, r.seq, r.qual
 
 
-def bam_to_paired_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
+def bam_to_paired_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE,
+                        progress_path: str | None = None):
     """Stranded pair-matching pass-through: BAM -> (name, m1, q1, m2, q2).
 
     Matches PassThroughSamCheck.stranded.cpp:192-279: reads are paired by
     name hashmap; flag-0x10 records are reverse-complemented back to
     sequencing orientation; the SECOND record seen for a name becomes
-    mate1, the stashed first becomes mate2.
+    mate1, the stashed first becomes mate2. progress_path writes the
+    <gen>.filter.chr chromosome-progress file (runRufus.sh:966).
     """
     pending: dict[str, tuple[str, str]] = {}
-    _, records = read_bam(path)
+    refs, records = read_bam(path)
+    if progress_path:
+        records = _progress_records(records, refs, progress_path)
     for r in records:
         if r.flag & exclude_flags:
             continue
@@ -174,9 +216,12 @@ def bam_to_paired_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
             pending[r.name] = (seq, qual)
 
 
-def bam_to_single_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE):
+def bam_to_single_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE,
+                        progress_path: str | None = None):
     """Single-end stranded pass-through (PassThroughSamCheck.stranded.se)."""
-    _, records = read_bam(path)
+    refs, records = read_bam(path)
+    if progress_path:
+        records = _progress_records(records, refs, progress_path)
     for r in records:
         if r.flag & exclude_flags:
             continue

@@ -171,18 +171,20 @@ def _test_model(SC, stdev, factor, skew, power, histo2, inflection, max_copy,
                 ybar, log_mode: bool, diploid: bool = True):
     """testModel / testModelLog (ModelDist.cpp:71-304; haploid variant
     ModelDist.haploid.cpp:72-188 drops the het column — `if (Diploid)`
-    guards at 86, 128, 151). Returns SSres(/Log)."""
+    guards at 86, 128, 145, 151). Returns SSres(/Log)."""
     size = len(histo2)
     if size / SC <= 1:
         return np.inf
     rows = np.arange(1, size)
     dist, n_j = _build_dist_cols(rows, size, SC, stdev, factor, skew, power,
                                  diploid=diploid)
-    # dist[i][col]: col1=het, col2..=SC*j. Normalization over j=1..C_loop-1
-    # where C_loop = floor-ish count of the loop "j=1; j<size/SC": that loop
-    # runs j=1..n_j, i.e. columns 1..n_j (skipping the last column n_j+1).
     ncols = dist.shape[1]
     with np.errstate(invalid="ignore", divide="ignore"):
+        # dist[i][col] (diploid): col1=het, col2..=SC*j. Normalization over
+        # j=1..C_loop-1 where C_loop counts the loop "j=1; j<size/SC": it
+        # runs j=1..n_j, i.e. columns 1..n_j — in diploid that SKIPS the
+        # last (main) column n_j+1; in haploid the built columns are exactly
+        # 1..n_j so every column is normalized (ModelDist.haploid.cpp:97-107)
         col_sums = dist[:, 1 : n_j + 1].sum(axis=0)
         dist[:, 1 : n_j + 1] = dist[:, 1 : n_j + 1] / col_sums[None, :]
         # prob[i][j] = dist[i][j] / sum(dist[i][1..n_j])
@@ -195,18 +197,30 @@ def _test_model(SC, stdev, factor, skew, power, histo2, inflection, max_copy,
 
     H = histo2.astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
-        tSC = H[int(SC)] / D(SC, 2)
-        het = (H[int(SC / 2)] - D(SC / 2, 2) * tSC) / D(SC / 2, 1)
-        # a = 2 .. while a < size/SC (same count as the n_j loop minus 1)
-        n_a = n_j - 1
-        a_vals = np.arange(2, 2 + max(0, n_a))
-        rows_a = (SC * a_vals).astype(np.int64)  # float->int truncation
-        RC = np.zeros(3 + max(0, n_a))
-        RC[1] = het if het > 0 else 0.0
-        RC[2] = H[int(SC)] / D(SC, 2)
-        if n_a > 0:
-            RC[3:] = (H[rows_a] / dist[rows_a - 1, a_vals + 1]
-                      * prob[rows_a - 1, a_vals + 1])
+        if diploid:
+            tSC = H[int(SC)] / D(SC, 2)
+            het = (H[int(SC / 2)] - D(SC / 2, 2) * tSC) / D(SC / 2, 1)
+            # a = 2 .. while a < size/SC (same count as the n_j loop minus 1)
+            n_a = n_j - 1
+            a_vals = np.arange(2, 2 + max(0, n_a))
+            rows_a = (SC * a_vals).astype(np.int64)  # float->int truncation
+            RC = np.zeros(3 + max(0, n_a))
+            RC[1] = het if het > 0 else 0.0
+            RC[2] = H[int(SC)] / D(SC, 2)
+            if n_a > 0:
+                RC[3:] = (H[rows_a] / dist[rows_a - 1, a_vals + 1]
+                          * prob[rows_a - 1, a_vals + 1])
+        else:
+            # haploid (ModelDist.haploid.cpp:145-158): RC[1] = 1x copy at
+            # column 1 (no het), higher copies at column a (not a+1)
+            n_a = n_j - 1
+            a_vals = np.arange(2, 2 + max(0, n_a))
+            rows_a = (SC * a_vals).astype(np.int64)
+            RC = np.zeros(2 + max(0, n_a))
+            RC[1] = H[int(SC)] / D(SC, 1)
+            if n_a > 0:
+                RC[2:] = (H[rows_a] / dist[rows_a - 1, a_vals]
+                          * prob[rows_a - 1, a_vals])
     # ModelSums[i] = sum_{j=1..n_j} dist[i][j] * RC[j]
     n_use = min(n_j + 1, len(RC))
     with np.errstate(invalid="ignore"):
@@ -281,8 +295,15 @@ class ModelFit:
     raw_histo: np.ndarray | None = None
 
 
-def fit_model(histo_path: str, hash_size: int, read_length: int = 150) -> ModelFit:
-    """Full ModelDist main flow (ModelDist.cpp:375-973)."""
+def fit_model(histo_path: str, hash_size: int, read_length: int = 150,
+              haploid: bool = False) -> ModelFit:
+    """Full ModelDist main flow (ModelDist.cpp:375-973).
+
+    haploid=True follows ModelDist.haploid.cpp instead (Diploid=false,
+    DiploidSimpel=true at :29-30): the single-copy peak and stdev are
+    HALVED before fitting (:527-531), the het column is dropped everywhere,
+    the final normalization covers every built column, and the kcutoff rule
+    becomes `> 0.9` with `kcutoff = k - 1` (:876-877)."""
     (histo, inflection, SC, sc_value, histo_sum, total, n_lines,
      total_kmers) = read_histo(histo_path)
     size = len(histo)
@@ -304,29 +325,41 @@ def fit_model(histo_path: str, hash_size: int, read_length: int = 150) -> ModelF
     diff = histo.astype(np.float64) - error_model
     histo2 = np.where(diff > 0, diff, 0.0).astype(np.int64)
 
+    SC0 = float(SC)
+    if haploid:
+        # DiploidSimpel: the observed peak is the 1x peak now, so halve it
+        # (SC is a double — no truncation; ModelDist.haploid.cpp:527-531)
+        SC0 = SC0 / 2
+        stdev = stdev * 0.5
+    diploid = not haploid
+
     factor, skew, power = 1.0, 0.0, 1.0
-    bestS, bestF, bestSC, bestSK, bestP = stdev, factor, float(SC), skew, power
-    SC_cur, stdev_cur = float(SC), stdev  # bracket centers, updated per pass
+    bestS, bestF, bestSC, bestSK, bestP = stdev, factor, SC0, skew, power
+    SC_cur, stdev_cur = SC0, stdev  # bracket centers, updated per pass
 
     for _pass in range(3):
         f = lambda x: _test_model(bestSC, bestS, x, bestSK, bestP, histo2,
-                                  inflection, 5, ybar, log_mode=True)
+                                  inflection, 5, ybar, log_mode=True,
+                                  diploid=diploid)
         b, *_ = _bracket_search(f, 1.0, 20.0, 0.0, 0.999, 1e-10)
         if b is not None:
             bestF = b
         f = lambda x: _test_model(x, bestS, bestF, bestSK, bestP, histo2,
-                                  inflection, 5, ybar, log_mode=False)
+                                  inflection, 5, ybar, log_mode=False,
+                                  diploid=diploid)
         b, *_ = _bracket_search(f, SC_cur * 0.9, SC_cur * 1.1, 0.0, 0.999, 1e-50)
         if b is not None:
             bestSC = b
         f = lambda x: _test_model(bestSC, x, bestF, bestSK, bestP, histo2,
-                                  inflection, 5, ybar, log_mode=False)
+                                  inflection, 5, ybar, log_mode=False,
+                                  diploid=diploid)
         b, *_ = _bracket_search(f, stdev_cur * 0.9, stdev_cur * 1.1, 0.0, 0.99, 1e-50)
         if b is not None:
             bestS = b
         # skew loop never runs (condition `and SKhigh < 1e-50` false, :639)
         f = lambda x: _test_model(bestSC, bestS, bestF, bestSK, x, histo2,
-                                  inflection, 5, ybar, log_mode=True)
+                                  inflection, 5, ybar, log_mode=True,
+                                  diploid=diploid)
         b, *_ = _bracket_search(f, 1.0, 2.0, 1.0, 0.999, 1e-50)
         if b is not None:
             bestP = b
@@ -337,10 +370,11 @@ def fit_model(histo_path: str, hash_size: int, read_length: int = 150) -> ModelF
 
     # ---- final tables (733-825): rows now from count 0, no placeholder ----
     rows = np.arange(0, size)
-    dist, n_j = _build_dist_cols(rows, size, SCf, stdevf, factorf, skewf, powerf)
+    dist, n_j = _build_dist_cols(rows, size, SCf, stdevf, factorf, skewf,
+                                 powerf, diploid=diploid)
     with np.errstate(invalid="ignore", divide="ignore"):
-        for c in range(1, n_j + 1):  # last column again skipped (749)
-            s = dist[:, c].sum()
+        for c in range(1, n_j + 1):  # diploid: last column skipped (749);
+            s = dist[:, c].sum()     # haploid: 1..n_j IS every column
             dist[:, c] = dist[:, c] / s
         tot = dist[:, 1 : n_j + 1].sum(axis=1)
         # prob rows are SHIFTED: prob[count+1][j], j = 1..n_j (759-772)
@@ -350,16 +384,25 @@ def fit_model(histo_path: str, hash_size: int, read_length: int = 150) -> ModelF
     H = histo.astype(np.float64)
     RC = [0.0]
     with np.errstate(invalid="ignore", divide="ignore"):
-        tSC = H[int(SCf)] / dist[int(SCf), 2]
-        het = (H[int(SCf / 2)] - dist[int(SCf / 2), 2] * tSC) / dist[int(SCf / 2), 1]
-        RC.append(het if het > 0 else 0.0)
-        RC.append(H[int(SCf)] / dist[int(SCf), 2])
-        a = 2
-        while a < size / SCf:
-            # prob row SC*a is count SC*a - 1 (the off-by-one, :803)
-            RC.append(H[int(SCf * a)] / dist[int(SCf * a), a + 1]
-                      * prob[int(SCf * a), a + 1] if a + 1 <= n_j else 0.0)
-            a += 1
+        if diploid:
+            tSC = H[int(SCf)] / dist[int(SCf), 2]
+            het = (H[int(SCf / 2)] - dist[int(SCf / 2), 2] * tSC) / dist[int(SCf / 2), 1]
+            RC.append(het if het > 0 else 0.0)
+            RC.append(H[int(SCf)] / dist[int(SCf), 2])
+            a = 2
+            while a < size / SCf:
+                # prob row SC*a is count SC*a - 1 (the off-by-one, :803)
+                RC.append(H[int(SCf * a)] / dist[int(SCf * a), a + 1]
+                          * prob[int(SCf * a), a + 1] if a + 1 <= n_j else 0.0)
+                a += 1
+        else:
+            # haploid (ModelDist.haploid.cpp:800-824): copy c at column c
+            RC.append(H[int(SCf)] / dist[int(SCf), 1])
+            a = 2
+            while a < size / SCf:
+                RC.append(H[int(SCf * a)] / dist[int(SCf * a), a]
+                          * prob[int(SCf * a), a] if a <= n_j else 0.0)
+                a += 1
     RC = np.array(RC)
     n_use = min(n_j + 1, len(RC))
     with np.errstate(invalid="ignore"):
@@ -367,14 +410,22 @@ def fit_model(histo_path: str, hash_size: int, read_length: int = 150) -> ModelF
         model_sums = model.sum(axis=1)
     genome_size = float(np.sum(RC[1:] * np.arange(1, len(RC))))
 
-    # kcutoff (852-868): first k with num/(num+ErrorDist[k]) > .5,
-    # num = sum over ALL columns c=1..n_j+1 of dist[k][c]
+    # kcutoff (852-868): first k with num/(num+ErrorDist[k]) > .5 (diploid)
+    # or > .9 with kcutoff = k-1 (haploid, ModelDist.haploid.cpp:864-880);
+    # num = sum over ALL columns c=1..ncols-1 of dist[k][c], accumulated in
+    # a C `float` (float32)
     kcutoff = -1
+    thresh = 0.5 if diploid else 0.9
     for kk in range(1, size):
-        num = dist[kk, 1:].sum()
+        num = np.float32(0.0)
+        for v in dist[kk, 1:]:
+            # C++ `num += d` with float num, double d: add in double,
+            # truncate the result to float
+            num = np.float32(np.float64(num) + v)
+        num = float(num)
         denom = num + error_dist[kk]
-        if denom > 0 and num / denom > 0.5:
-            kcutoff = kk
+        if denom > 0 and num / denom > thresh:
+            kcutoff = kk if diploid else kk - 1
             break
 
     return ModelFit(
@@ -401,8 +452,16 @@ def _g(x) -> str:
     return f"{x:.6g}"
 
 
-def write_outputs(fit: ModelFit, histo_path: str):
-    """Write .7.7.model / .7.7.dist / .7.7.prob (ModelDist.cpp:870-966)."""
+def write_outputs(fit: ModelFit, histo_path: str, haploid: bool = False):
+    """Write .7.7.model / .7.7.dist / .7.7.prob (ModelDist.cpp:870-966).
+
+    haploid=True reproduces ModelDist.haploid.cpp:882-948 instead: the
+    4-line header goes to the .model only, the .dist header is just
+    HistoSum, the prob file is named `.7.7boom.prob` and is opened but
+    never written (:388-391, :944), and there is no trailing dist[0] row.
+    """
+    if haploid:
+        return _write_outputs_haploid(fit, histo_path)
     size = len(fit.error_dist)
     dist, prob = fit.dist_final, fit.prob_final
     n_cols = dist.shape[1]  # = n_j + (1 het) + (1 zero col)
@@ -461,6 +520,70 @@ def write_outputs(fit: ModelFit, histo_path: str):
             for c in range(1, prob.shape[1]):
                 pf.write("\t" + _g(prob[kk, c] if kk < prob.shape[0] else 0.0))
             pf.write("\n")
+
+
+def _write_outputs_haploid(fit: ModelFit, histo_path: str):
+    """ModelDist.haploid.cpp output layout (:882-948).
+
+    .model: 3/kcutoff/HistoSum/rawSC header, per-copy sums line, table
+    header, rows 1..<SC*5 (K, raw histo, error model, 0, model sum,
+    model[K][1..9]).
+    .dist: HistoSum line, `burner 0 RC[1..]` line, SC line, dist rows
+    0..size-1 with columns 1..n_j (no het) — and no trailing repeat row.
+    .7.7boom.prob: created empty.
+    """
+    size = len(fit.error_dist)
+    dist = fit.dist_final
+    n_cols = dist.shape[1]  # = n_j + 1 zero col (no het)
+    with open(histo_path + ".7.7.model", "w") as mf, \
+         open(histo_path + ".7.7.dist", "w") as df, \
+         open(histo_path + ".7.7boom.prob", "w"):
+        mf.write("3\n%d\n" % fit.kcutoff)
+        mf.write(_g(fit.histo_sum) + "\n")
+        mf.write("%d\n" % fit.raw_sc)
+        df.write(_g(fit.histo_sum) + "\n")
+        # per-copy sums: LocalSum is a long accumulating doubles ->
+        # truncation per addition (same quirk as diploid, :887-895)
+        vals = []
+        for c in range(fit.model_final.shape[1]):
+            ls = 0
+            for kk in range(1, size):
+                ls = int(ls + fit.model_final[kk, c])
+            vals.append(ls / fit.histo_sum)
+        mf.write("\t".join(_g(v) for v in vals) + "\t\n")
+        df.write(_g(fit.error_total) + "\t0\t" +
+                 "\t".join(_g(v) for v in fit.rc[1:]) + "\t\n")
+        mf.write("K\tRawCount\tErrorModel\tContSubtract\tModelSum\t1x\t2x\t3x\t4x\t5x\t6x\t7x\t8x\t9x\n")
+
+        def model_cell(kk, copy):
+            return (fit.model_final[kk, copy - 1]
+                    if copy - 1 < fit.model_final.shape[1] else 0.0)
+
+        mf.write("0\t0\t0\t0\t0")
+        for copy in range(1, 10):
+            mf.write("\t" + _g(model_cell(0, copy)))
+        mf.write("\n")
+        kk = 1
+        # the C++ loop bound is KmerCount < SC*5 alone (:907) — the `< size`
+        # guard prevents out-of-bounds reads the C++ would UB on
+        while kk < fit.sc * 5 and kk < size:
+            mf.write("%d\t%d\t%s\t0\t%s" % (
+                kk, fit.raw_histo[kk] if fit.raw_histo is not None else 0,
+                _g(fit.error_model[kk]), _g(fit.model_sums[kk])))
+            for copy in range(1, 10):
+                mf.write("\t" + _g(model_cell(kk, copy)))
+            mf.write("\n")
+            kk += 1
+        df.write(_g(fit.sc) + "\n")
+        df.write("0\t0\t0")
+        for c in range(1, n_cols):
+            df.write("\t" + _g(dist[0, c]))
+        df.write("\n")
+        for kk in range(1, size):
+            df.write("%d\t%s\t0" % (kk, _g(fit.error_dist[kk])))
+            for c in range(1, n_cols):
+                df.write("\t" + _g(dist[kk, c]))
+            df.write("\n")
 
 
 def write_histo(path: str, histo_counts: np.ndarray):

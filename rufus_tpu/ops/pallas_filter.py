@@ -106,6 +106,8 @@ def _filter_kernel(reads_ref, quals_ref, lens_ref, thi_ref, tlo_ref, out_ref,
                          dtype=jnp.int32)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "min_q", "interpret"))
 def pallas_window_hits(reads, quals, lens, table_hi, table_lo, k: int,
                        min_q: int, interpret: bool = False):
     """Fused filter over (B, L) reads; B must be a multiple of BLK.
@@ -114,7 +116,9 @@ def pallas_window_hits(reads, quals, lens, table_hi, table_lo, k: int,
     per compile; keep tables padded to a fixed size with a sentinel that
     cannot match, e.g. hi=0xFFFFFFFF). Runs under a local x64-disable
     scope: the package enables x64 globally, which leaks i64 literals into
-    pallas index maps that Mosaic rejects.
+    pallas index maps that Mosaic rejects. jit-wrapped: an unjitted
+    pallas_call re-traces and re-lowers the kernel on EVERY invocation
+    (~2s/call through the axon relay).
     """
     B, L = reads.shape
     T = table_hi.shape[0]

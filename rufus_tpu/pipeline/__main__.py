@@ -39,6 +39,15 @@ def main():
     p.add_argument("--speed", default="full", choices=["full", "veryfast"])
     p.add_argument("--workdir", default=".")
     p.add_argument("--stop-after", default="", choices=["", "jhash", "hashlist", "filter"])
+    p.add_argument("--haploid", action="store_true",
+                   help="ModelDist.haploid depth-model fit")
+    p.add_argument("--saliva", action="store_true",
+                   help="aligned-only mutant reads (runRufus.sh:1062-1076)")
+    p.add_argument("--clean", action="store_true",
+                   help="-CLEAN: purge intermediates after the run "
+                        "(runRufus.sh:351-356)")
+    p.add_argument("--sharded", default="auto", choices=["auto", "on", "off"],
+                   help="mesh-sharded device pipeline (auto: when >1 device)")
     a = p.parse_args()
     min_cov = a.min
     if a.tumor and min_cov is None:
@@ -51,7 +60,8 @@ def main():
         exclude_hash=a.exclude, fastq_a=a.fastqA, fastq_b=a.fastqB,
         mob_fasta=a.mob, ref_hash=a.refhash, exome=a.exome, mosaic=a.mosaic,
         single_end=a.single_end, assembly_speed=a.speed,
-        stop_after=a.stop_after,
+        stop_after=a.stop_after, haploid=a.haploid, saliva=a.saliva,
+        clean=a.clean, sharded=a.sharded,
     )
     final = RufusPipeline(cfg).run()
     print(final)

@@ -86,7 +86,7 @@ class RufusPipeline:
 
     # -- stage 1: count -----------------------------------------------------
 
-    def _read_stream(self, path: str):
+    def _read_stream(self, path: str, progress_path: str | None = None):
         # comma-separated fastq pairs are read in sequence (the reference's
         # FastqToSam generator shim, runRufus.sh:159-168)
         for part in path.split(","):
@@ -94,15 +94,22 @@ class RufusPipeline:
                 for _, s, _ in fastq.read_fastq(part):
                     yield s
             else:
-                for _, s, _ in bam.bam_to_fastq(part):
+                for _, s, _ in bam.bam_to_fastq(part,
+                                                progress_path=progress_path):
                     yield s
+                progress_path = None  # one progress file per stream
 
-    def _batch_stream(self, path: str):
+    def _batch_stream(self, path: str, progress_path: str | None = None):
         """Yield fixed-shape (batch_size, read_pad) uint8 base matrices
-        (rows past the data are 'N' — invalid, produce no k-mers)."""
+        (rows past the data are 'N' — invalid, produce no k-mers).
+
+        progress_path writes the chromosome-progress / stream-completion
+        file (PassThroughSamCheck.cpp:30-158 role, RunJellyForRUFUS.sh:28):
+        the pure-Python decoder logs chromosome transitions; the native and
+        fastq paths log the completion sentinel only."""
         cfg = self.cfg
-        use_native = (not path.endswith((".fastq", ".fq", ".fastq.gz",
-                                         ".fq.gz")))
+        is_fastq = path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz"))
+        use_native = not is_fastq
         if use_native:
             try:
                 from ..io import native
@@ -120,9 +127,13 @@ class RufusPipeline:
                                   ord("N"), np.uint8)
                     seq = np.concatenate([seq, pad])
                 yield seq
+            if progress_path:  # clean EOF from the native decoder
+                with open(progress_path, "w") as pf:
+                    pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
         else:
             batch: list[str] = []
-            for s in self._read_stream(path):
+            prog = progress_path if not is_fastq else None
+            for s in self._read_stream(path, progress_path=prog):
                 batch.append(s)
                 if len(batch) >= cfg.batch_size:
                     r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
@@ -133,6 +144,9 @@ class RufusPipeline:
                 pad = np.full((cfg.batch_size - len(r), cfg.read_pad),
                               ord("N"), np.uint8)
                 yield np.concatenate([r, pad])
+            if is_fastq and progress_path:
+                with open(progress_path, "w") as pf:
+                    pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
 
     @staticmethod
     def _prefetch(gen, depth: int = 3):
@@ -162,12 +176,17 @@ class RufusPipeline:
                 raise item
             yield item
 
-    def count_sample(self, path: str, stub: str, lower: int):
+    def count_sample(self, path: str, stub: str, lower: int, stream=None):
         """Count one sample's canonical k-mers into a device-resident
         prefix-sharded table (jellyfish `count -C -L lower` role,
         RunJellyForRUFUS.sh:28-29): stream batches -> sharded count step
         (one all_to_all) -> local LSM fold. Host memory stays O(batch);
-        the table lives on device until gathered."""
+        the table lives on device until gathered.
+
+        Resume guard: outputs are only reused when the previous run's
+        chromosome-progress file carries the completion sentinel — a
+        crashed count leaves a truncated progress file and is redone
+        (the RunRUFUS.Trio.sh:77 `tail -n 1 *.chr = booya` check)."""
         import jax
         import jax.numpy as jnp
 
@@ -176,9 +195,14 @@ class RufusPipeline:
         cfg = self.cfg
         table_path = self.cfg.wpath(stub + ".table.npz")
         histo_path = self.cfg.wpath(stub + ".Jhash.histo")
+        progress_path = self.cfg.wpath(stub + ".Jelly.chr")
         if os.path.exists(table_path) and os.path.exists(histo_path):
-            self._log(f"skipping count for {stub}")
-            return count.KmerTable.load(table_path)
+            if (not os.path.exists(progress_path)
+                    or bam.stream_complete(progress_path)):
+                self._log(f"skipping count for {stub}")
+                return count.KmerTable.load(table_path)
+            self._log(f"count for {stub}: outputs exist but the stream "
+                      "never completed; recounting")
         mesh = self.mesh
         if self._count_step is None:
             bcap = (cfg.batch_size // self.n_devices) * \
@@ -188,11 +212,18 @@ class RufusPipeline:
             mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
         dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
         meter = Throughput(name=f"count[{stub}] reads")
-        for seq in self._prefetch(self._batch_stream(path)):
+        if stream is None:
+            stream = self._prefetch(
+                self._batch_stream(path, progress_path=progress_path))
+        for seq in stream:
             bk, bc, _ = self._count_step(
                 jax.device_put(jnp.asarray(seq), sharding))
             dev.fold_batch(bk, bc)
             meter.add(seq.shape[0])
+        if not bam.stream_complete(progress_path):
+            raise RuntimeError(
+                f"count stream for {path} ended without the completion "
+                f"sentinel ({progress_path})")
         if lower > 1:
             dev.apply_lower_count(lower)
         table = dev.to_host()
@@ -206,16 +237,25 @@ class RufusPipeline:
         return table
 
     def stage_count(self):
+        """Count all samples. Decode of EVERY sample runs in its own
+        prefetch thread from the start (the reference's -pj per-sample
+        jellyfish jobs, runRufus.sh:766-797): sample N+1's BAM decode
+        overlaps sample N's device folds, bounded by the prefetch depth."""
         cfg = self.cfg
-        with self.trace.stage("count", samples=1 + len(cfg.controls),
+        jobs = [(cfg.subject, cfg.subject_stub, cfg.subject_low_k)] + [
+            (c, cfg.control_stub(c), cfg.par_low_k) for c in cfg.controls]
+        with self.trace.stage("count", samples=len(jobs),
                               devices=self.n_devices):
-            tables = {"subject": self.count_sample(
-                cfg.subject, cfg.subject_stub, cfg.subject_low_k)}
-            tables["controls"] = [
-                self.count_sample(c, cfg.control_stub(c), cfg.par_low_k)
-                for c in cfg.controls
-            ]
-        return tables
+            streams = {}
+            for path, stub, _ in jobs:
+                table_path = cfg.wpath(stub + ".table.npz")
+                if not os.path.exists(table_path):  # skip-resume: no decode
+                    streams[stub] = self._prefetch(self._batch_stream(
+                        path, progress_path=cfg.wpath(stub + ".Jelly.chr")))
+            done = [self.count_sample(path, stub, low,
+                                      stream=streams.get(stub))
+                    for path, stub, low in jobs]
+        return {"subject": done[0], "controls": done[1:]}
 
     # -- stage 2: model -----------------------------------------------------
 
@@ -231,8 +271,13 @@ class RufusPipeline:
                 f.write(f"3\n{cfg.min_cov}\n3.1392e+09\n1000000\n")
             return cfg.min_cov, 100000000
         if not os.path.exists(model_path):
-            fit = modeldist.fit_model(histo_path, cfg.k, 150)
-            modeldist.write_outputs(fit, histo_path)
+            # --haploid switches to the ModelDist.haploid fit
+            # (ModelDist.haploid.cpp:29-30): halved 1x peak, no het column,
+            # 0.9 cutoff rule. The .model line layout (cutoff at line 2,
+            # rawSC at line 4) is shared, so the parse below is common.
+            fit = modeldist.fit_model(histo_path, cfg.k, 150,
+                                      haploid=cfg.haploid)
+            modeldist.write_outputs(fit, histo_path, haploid=cfg.haploid)
         if cfg.min_cov:
             # ModelDist still runs (interpret needs the .dist) but the
             # cutoff is overridden and MaxHashDepth keeps its seed
@@ -378,10 +423,13 @@ class RufusPipeline:
         keys = jnp.asarray(keys_np)
         self._bloom = jnp.asarray(rfilter.build_bloom(keys_np))
         self._hl_keys = keys_np
+        progress = cfg.wpath(cfg.subject_stub + ".filter.chr")
         if cfg.fastq_a:
             pair_stream = self._fastq_pair_stream(cfg.fastq_a, cfg.fastq_b)
         else:
-            pair_stream = bam.bam_to_paired_fastq(cfg.subject)
+            # <gen>.filter.chr progress file (runRufus.sh:966)
+            pair_stream = bam.bam_to_paired_fastq(cfg.subject,
+                                                  progress_path=progress)
         kept = 0
         with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
             buf = []
@@ -392,6 +440,10 @@ class RufusPipeline:
                     buf = []
             if buf:
                 kept += self._filter_batch(buf, keys, f1, f2)
+        if not cfg.fastq_a and not bam.stream_complete(progress):
+            raise RuntimeError(
+                f"filter stream ended without the completion sentinel "
+                f"({progress})")
         if kept == 0:
             raise RuntimeError("filter kept no reads")
         self._log(f"filter kept {kept} pairs")
@@ -508,7 +560,22 @@ class RufusPipeline:
                                                        fastq.read_fastq(m2_path))
             ]
             alns = rsam.align_pairs(al, pairs)
+            # samblaster's slot in the pipe (runRufus.sh:1000): mark PCR
+            # duplicate pairs so assembly's dup rejection can fire
+            alns, n_dup = rsam.mark_duplicates(alns)
+            if n_dup:
+                self._log(f"marked {n_dup} duplicate pairs")
         alns = rsam.sort_alignments(alns)
+        if cfg.saliva:
+            # aligned-only mutant reads for saliva samples
+            # (runRufus.sh:1062-1076): keep the full alignment set as
+            # *.FULL.sam, then drop records with read-or-mate unmapped
+            # (`samtools view -F 12`)
+            rsam.write_sam(sam_path[: -len(".sam")] + ".FULL.sam", alns,
+                           self.ref_index())
+            alns = [a for a in alns if not (a.flag & 0xC)]
+            if not alns:
+                raise RuntimeError("saliva filter removed every read")
         rsam.write_sam(sam_path, alns, self.ref_index())
         return sam_path
 
@@ -832,6 +899,44 @@ class RufusPipeline:
         final = cfg.wpath(cfg.name_stub + ".overlap.hashcount.fastq.bam.FINAL.vcf")
         with t.stage("polish"):
             polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
+            # bgzip + tabix the final VCF (runRufus.sh:1127-1128); the
+            # uncompressed file is kept for convenience (the reference's
+            # bgzip -f deletes it)
+            from ..io import bgzf
+
+            bgzf.bgzip_tabix_vcf(final, keep_plain=True)
+        if cfg.clean:
+            self.clean()
         self._log(f"FINAL VCF: {final}")
         self._log(self.trace.summary())
         return final
+
+    def clean(self):
+        """-CLEAN: purge per-run intermediates (runRufus.sh:351-356's rm
+        list, translated to this pipeline's artifact names). Final VCFs,
+        trace files and the model stay."""
+        import glob
+
+        cfg = self.cfg
+        patterns = [
+            "*.generator.table.npz", "*.generator.Jhash.histo",
+            "*.generator.Jhash.histo.7.7.prob", "*.generator.Jelly.chr",
+            "*.generator.filter.chr", "*.generator.k*_c*.HashList",
+            "*.generator.Mutations.Mate1.fastq",
+            "*.generator.Mutations.Mate2.fastq",
+            "*.generator.Mutations.fastq",
+            "*.generator.Mutations.fastq.sam",
+            "*.generator.Mutations.fastq.FULL.sam",
+            "*.generator.V2.overlap.fastq", "*.generator.V2.overlap.fastqd",
+            "*.generator.V2.overlap.hashcount.fastq",
+            "*.generator.V2.overlap.hashcount.fastq.sam",
+            "*.generator.V2.overlap.hashcount.fastq.bam.vcf",
+            "*.generator.V2.overlap.hashcount.fastq.bam.vcf.bed",
+        ]
+        removed = 0
+        for pat in patterns:
+            for p in glob.glob(cfg.wpath(pat)):
+                os.remove(p)
+                removed += 1
+        self._log(f"clean: removed {removed} intermediates")
+        return removed

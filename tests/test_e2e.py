@@ -47,3 +47,12 @@ def test_trio_golden_call(tmp_path):
     assert info["MQ"] == "60"
     assert info["AO"] == "19"
     assert info["CVT"] == "X" and info["VT"] == "X"
+
+    # bgzip+tabix outputs (runRufus.sh:1127-1128): the indexed lookup of
+    # the call site must return exactly the golden row
+    from rufus_tpu.io import bgzf
+
+    assert os.path.exists(final + ".gz") and os.path.exists(final + ".gz.tbi")
+    hits = bgzf.tabix_query(final + ".gz", "5:177630000", 12890, 12900)
+    assert len(hits) == 1 and hits[0].split("\t")[1] == "12896"
+    assert bgzf.tabix_query(final + ".gz", "5:177630000", 0, 1000) == []

@@ -15,10 +15,8 @@ REF = "/root/reference/resources/references/small_test_human_reference_v37_decoy
 MOB = "/root/reference/resources/primate_non-LTR_Retrotransposon.fasta"
 
 needs_data = pytest.mark.skipif(
-    not (os.path.exists(os.path.join(TESTDATA, "Child.bam"))
-         and os.environ.get("RUFUS_E2E_ALL") == "1"),
-    reason="data absent or RUFUS_E2E_ALL!=1 (each run takes ~3 min; the "
-           "always-on golden e2e is tests/test_e2e.py)",
+    not os.path.exists(os.path.join(TESTDATA, "Child.bam")),
+    reason="testData absent",
 )
 
 

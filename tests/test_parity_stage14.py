@@ -71,6 +71,24 @@ def test_modeldist_byte_parity(tmp_path):
         assert open(stub + ext).read() == golden, f"{ext} differs from reference output"
 
 
+def test_modeldist_haploid_byte_parity(tmp_path):
+    """Byte parity vs the prebuilt reference ModelDist.haploid binary
+    (reference src/ModelDist.haploid — checked-in ELF, not in CMake) run on
+    the golden Child histo: `ModelDist.haploid Child.histo 25 150 2`."""
+    from rufus_tpu.models import modeldist
+
+    golden_histo = _gunzip(os.path.join(GOLD, "Child.Jhash.histo.gz"), tmp_path)
+    fit = modeldist.fit_model(golden_histo, 25, 150, haploid=True)
+    assert fit.kcutoff == 5 and fit.raw_sc == 25
+    stub = str(tmp_path / "hap.histo")
+    modeldist.write_outputs(fit, stub, haploid=True)
+    for ext in (".7.7.dist", ".7.7.model"):
+        golden = gzip.open(os.path.join(GOLD, f"Child.haploid{ext}.gz"), "rt").read()
+        assert open(stub + ext).read() == golden, f"haploid {ext} differs"
+    assert os.path.exists(stub + ".7.7boom.prob")  # created empty (:388)
+    assert os.path.getsize(stub + ".7.7boom.prob") == 0
+
+
 @needs_data
 def test_merge_and_hashlist_parity(tables):
     from rufus_tpu.ops import codec, count

@@ -1,0 +1,224 @@
+"""Pipeline auxiliary behaviors added for reference completeness:
+duplicate marking (samblaster role), BGZF+tabix output, chromosome-progress
+stream-completion guard, saliva aligned-only filter, -CLEAN purge.
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+TESTRUN = "/root/reference/testRun"
+REF = "/root/reference/resources/references/small_test_human_reference_v37_decoys.fa"
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(os.path.join(TESTRUN, "Child.bam")),
+    reason="testRun data absent")
+
+
+# -- duplicate marking (runRufus.sh:1000 samblaster slot) --------------------
+
+
+def _aln(qname, flag, pos, cigar, ref_id=0):
+    from rufus_tpu.align.aligner import Alignment
+
+    return Alignment(qname=qname, flag=flag, ref_name="c", pos=pos, mapq=60,
+                     cigar=cigar, seq="A" * 100, qual="I" * 100,
+                     ref_id=ref_id)
+
+
+def test_mark_duplicates_pairs_and_clipping():
+    from rufus_tpu.align import sam as rsam
+
+    # pair A: fwd mate at 100, rev mate spanning 300..400
+    a1 = _aln("A", 0x1 | 0x40, 100, [(100, "M")])
+    a2 = _aln("A", 0x1 | 0x80 | 0x10, 300, [(100, "M")])
+    # pair B: SAME molecule, clipped differently — fwd mate soft-clipped 5
+    # (pos shifted +5), rev mate trailing clip 10 (end shifted -10): the
+    # unclipped 5' signatures still collide
+    b1 = _aln("B", 0x1 | 0x40, 105, [(5, "S"), (95, "M")])
+    b2 = _aln("B", 0x1 | 0x80 | 0x10, 300, [(90, "M"), (10, "S")])
+    # pair C: different position — not a dup
+    c1 = _aln("C", 0x1 | 0x40, 500, [(100, "M")])
+    c2 = _aln("C", 0x1 | 0x80 | 0x10, 700, [(100, "M")])
+    out, n = rsam.mark_duplicates([a1, a2, b1, b2, c1, c2])
+    assert n == 1
+    flags = {a.qname: [] for a in out}
+    for a in out:
+        flags[a.qname].append(bool(a.flag & rsam.FLAG_DUP))
+    assert flags["A"] == [False, False]
+    assert flags["B"] == [True, True]
+    assert flags["C"] == [False, False]
+
+
+def test_mark_duplicates_orphan_bucket():
+    from rufus_tpu.align import sam as rsam
+
+    # orphan pair (mate unmapped) must NOT dedup against a full pair whose
+    # one signature matches
+    full1 = _aln("F", 0x1 | 0x40, 100, [(100, "M")])
+    full2 = _aln("F", 0x1 | 0x80 | 0x10, 300, [(100, "M")])
+    orph1 = _aln("O", 0x1 | 0x40 | 0x8, 100, [(100, "M")])
+    orph2 = _aln("O", 0x1 | 0x80 | 0x4, 100, [])
+    out, n = rsam.mark_duplicates([full1, full2, orph1, orph2])
+    assert n == 0
+    # but a second orphan at the same 5' IS a dup of the first
+    orph3 = _aln("P", 0x1 | 0x40 | 0x8, 100, [(100, "M")])
+    orph4 = _aln("P", 0x1 | 0x80 | 0x4, 100, [])
+    out, n = rsam.mark_duplicates([full1, full2, orph1, orph2, orph3, orph4])
+    assert n == 1
+    assert all(a.flag & rsam.FLAG_DUP for a in out if a.qname == "P")
+
+
+def test_duplicates_do_not_change_contigs():
+    """Planted PCR duplicates, once flagged, leave assembly output
+    unchanged (OverlapSam.cpp:736-741 dup rejection semantics)."""
+    from dataclasses import dataclass
+
+    from rufus_tpu.align import sam as rsam
+    from rufus_tpu.assembly.overlap_sam import overlap_sam
+    from rufus_tpu.ops import codec
+
+    @dataclass
+    class Rec:
+        flag: int
+        seq: str
+        qual: str
+
+    rng = np.random.default_rng(7)
+    genome = "".join(rng.choice(list("ACGT"), size=220))
+    reads = [Rec(0, genome[i * 20 : i * 20 + 120], "I" * 120)
+             for i in range(6)]
+    hl = sorted({codec.canonical_str(genome[i : i + 25])
+                 for i in range(60, 90)})
+    base, _ = overlap_sam(list(reads), hl, "t", 0.95, 20, 1, 25)
+    # the same reads again, flagged as duplicates -> identical contigs
+    dups = [Rec(r.flag | rsam.FLAG_DUP, r.seq, r.qual) for r in reads[:3]]
+    withdups, _ = overlap_sam(list(reads) + dups, hl, "t", 0.95, 20, 1, 25)
+    assert [(c.seq, c.depths) for c in base] == \
+        [(c.seq, c.depths) for c in withdups]
+    # unflagged, they DO change depths (the guard is load-bearing)
+    undup = [Rec(r.flag, r.seq, r.qual) for r in reads[:3]]
+    changed, _ = overlap_sam(list(reads) + undup, hl, "t", 0.95, 20, 1, 25)
+    assert [(c.seq, c.depths) for c in base] != \
+        [(c.seq, c.depths) for c in changed]
+
+
+# -- BGZF + tabix -------------------------------------------------------------
+
+
+def test_bgzf_roundtrip_and_tabix(tmp_path):
+    from rufus_tpu.io import bgzf
+
+    vcf = tmp_path / "x.vcf"
+    rows = ["##fileformat=VCFv4.1", "#CHROM\tPOS\tID\tREF\tALT"]
+    for pos in (100, 5000, 20000, 100000):
+        rows.append(f"1\t{pos}\tid{pos}\tACGT\tA")
+    for pos in (77, 16385):
+        rows.append(f"2\t{pos}\t.\tC\tG")
+    vcf.write_text("\n".join(rows) + "\n")
+    gz, tbi = bgzf.bgzip_tabix_vcf(str(vcf))
+    # multi-member gzip round trip
+    assert gzip.decompress(open(gz, "rb").read()).decode() == vcf.read_text()
+    assert open(gz, "rb").read()[-28:] == bgzf.BGZF_EOF
+    # indexed point lookups
+    assert [h.split("\t")[1] for h in bgzf.tabix_query(gz, "1", 4990, 5100)] == ["5000"]
+    assert [h.split("\t")[1] for h in bgzf.tabix_query(gz, "2", 16000, 17000)] == ["16385"]
+    # REF-length end: ACGT at 100 covers [99,103) -> overlaps [102,103)
+    assert [h.split("\t")[1] for h in bgzf.tabix_query(gz, "1", 102, 103)] == ["100"]
+    assert bgzf.tabix_query(gz, "1", 103, 104) == []
+    assert bgzf.tabix_query(gz, "3", 0, 1000) == []
+
+
+def test_bgzf_block_boundaries(tmp_path):
+    """Content larger than one 64KB block still round-trips."""
+    from rufus_tpu.io import bgzf
+
+    src = tmp_path / "big.txt"
+    data = bytes(np.random.default_rng(0).integers(32, 126, size=300000,
+                                                   dtype=np.uint8))
+    src.write_bytes(data)
+    bgzf.bgzf_compress_file(str(src), str(src) + ".gz")
+    assert gzip.decompress(open(str(src) + ".gz", "rb").read()) == data
+
+
+# -- chromosome-progress stream completion ------------------------------------
+
+
+@needs_data
+def test_stream_progress_sentinel(tmp_path):
+    from rufus_tpu.io import bam
+
+    prog = str(tmp_path / "c.chr")
+    n = sum(1 for _ in bam.bam_to_fastq(os.path.join(TESTRUN, "Child.bam"),
+                                        progress_path=prog))
+    assert n > 0
+    assert bam.stream_complete(prog)
+    lines = [l for l in open(prog).read().split("\n") if l]
+    assert lines[0] == "notachr" and lines[-1] == bam.STREAM_SENTINEL
+    assert "5" in lines  # the testRun BAM's single reference sequence
+
+    # abandoning the stream mid-way leaves no sentinel
+    prog2 = str(tmp_path / "c2.chr")
+    it = bam.bam_to_fastq(os.path.join(TESTRUN, "Child.bam"),
+                          progress_path=prog2)
+    next(it)
+    it.close()
+    assert not bam.stream_complete(prog2)
+    assert not bam.stream_complete(str(tmp_path / "missing.chr"))
+
+
+# -- saliva aligned-only filter ------------------------------------------------
+
+
+@needs_data
+def test_saliva_drops_unmapped_pairs(tmp_path):
+    """runRufus.sh:1062-1076: `samtools view -F 12` equivalent applied to
+    the mutant-read SAM, keeping a FULL copy."""
+    from rufus_tpu.pipeline import RufusConfig, RufusPipeline
+
+    cfg = RufusConfig(subject=os.path.join(TESTRUN, "Child.bam"),
+                      ref=REF, k=25, workdir=str(tmp_path), saliva=True)
+    pipe = RufusPipeline(cfg)
+    m1 = tmp_path / "m1.fastq"
+    m2 = tmp_path / "m2.fastq"
+    # one alignable pair (reference slice) + one garbage pair
+    from rufus_tpu.io import bwaindex
+
+    g = bwaindex.load_pac_reference(REF)["5:177630000"][12000:12150]
+    seq = g.tobytes().decode()
+    m1.write_text(f"@p1\n{seq}\n+\n{'I' * len(seq)}\n"
+                  f"@p2\n{'GTCA' * 30}\n+\n{'I' * 120}\n")
+    m2.write_text(f"@p1\n{seq}\n+\n{'I' * len(seq)}\n"
+                  f"@p2\n{'TTGA' * 30}\n+\n{'I' * 120}\n")
+    sam_path = pipe.stage_align_reads(str(m1), str(m2))
+    recs = [l.split("\t") for l in open(sam_path) if not l.startswith("@")]
+    names = {r[0] for r in recs}
+    assert "p1" in names and "p2" not in names
+    assert all(int(r[1]) & 0xC == 0 for r in recs)
+    full = sam_path[: -len(".sam")] + ".FULL.sam"
+    full_names = {l.split("\t")[0] for l in open(full)
+                  if not l.startswith("@")}
+    assert "p2" in full_names
+
+
+# -- -CLEAN purge ---------------------------------------------------------------
+
+
+def test_clean_purges_intermediates(tmp_path):
+    from rufus_tpu.pipeline import RufusConfig, RufusPipeline
+
+    cfg = RufusConfig(subject="Child.bam", ref=REF, workdir=str(tmp_path))
+    pipe = RufusPipeline(cfg)
+    keep = tmp_path / "Child.bam.generator.V2.overlap.hashcount.fastq.bam.FINAL.vcf"
+    purge = [tmp_path / "Child.bam.generator.table.npz",
+             tmp_path / "Child.bam.generator.Jhash.histo",
+             tmp_path / "Child.bam.generator.k25_c4.HashList",
+             tmp_path / "Child.bam.generator.Mutations.Mate1.fastq"]
+    for p in [keep] + purge:
+        p.write_text("x")
+    n = pipe.clean()
+    assert n == len(purge)
+    assert keep.exists()
+    assert not any(p.exists() for p in purge)
