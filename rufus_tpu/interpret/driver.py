@@ -74,7 +74,8 @@ def load_mob_sam(path: str):
             t = line.rstrip("\n").split("\t")
             if len(t) < 11:
                 continue
-            m = MobRead(name=t[0], flag=int(t[1]), chr=t[2], seq=t[9], cigar=t[5])
+            m = MobRead(name=t[0], flag=int(t[1]), chr=t[2], seq=t[9],
+                        cigar=t[5]).process_cigar()
             for tag in t[11:]:
                 p = tag.split(":")
                 if p[0] == "AS":

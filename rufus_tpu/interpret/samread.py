@@ -107,6 +107,21 @@ class MobRead:
     AS: int = 0
     seq: str = ""
     cigar: str = ""
+    cigar_string: str = ""  # per-base expansion (MobRead::processCigar,
+    # RUFUS.interpret.cpp:520-536) — consumed by MobAligneBases; without it
+    # the orphan-MOB pass can never distinguish the element-aligned half
+
+    def process_cigar(self):
+        out = []
+        num = ""
+        for ch in self.cigar:
+            if ch.isdigit():
+                num += ch
+            else:
+                out.append(ch * int(num or 0))
+                num = ""
+        self.cigar_string = "".join(out)
+        return self
 
 
 class Context:

@@ -37,6 +37,18 @@ def test_trio_golden_call(tmp_path):
     assert f[1] == "12896"
     assert f[2] == "X-DeNovo"
     assert (f[3], f[4]) == ("T", "G")
+    # QUAL = supporting/possible*100 (RUFUS.interpret.cpp:2927). The
+    # published golden says 25, but that predates the current reference
+    # source AND reflects bwa's shorter contig (L273): the reference
+    # binary compiled from the current source and fed THIS pipeline's
+    # intermediates prints exactly this row with QUAL=100 and FS=25/25
+    # (differential: tools/ref_interpret_diff.py, 2026-08-20); the only
+    # divergent fields are the parents' DP/RO, where the reference's
+    # shadowed-C bug (RUFUS.interpret.cpp:1738) returns uninitialized
+    # memory and we resolve the UB to the published golden values.
+    assert f[5] == "100"
+    info0 = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+    assert info0["FS"] == "25/25"
     assert f[6] == "PASS"
     fmt = dict(zip(f[8].split(":"), f[9].split(":")))
     assert fmt["GT"] == "0/1" and fmt["DP"] == "39"
