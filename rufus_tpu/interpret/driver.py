@@ -237,16 +237,24 @@ def run_interpret(sam_lines, ref, dist_path: str, hashlist_path: str,
         bed.close()
         return vcf_path
 
-    # split-read linking (5856-5883)
+    # split-read linking (5856-5883) — the reference's O(N^2) all-pairs
+    # name scan becomes a name->indices map walk with identical link
+    # structure (the head contig links every later same-name index; later
+    # ones link only back to the head; a zero-pos head links nothing and
+    # leaves its partners to start their own groups)
+    by_name: dict[str, list[int]] = {}
+    for idx, r in enumerate(reads):
+        by_name.setdefault(r.name, []).append(idx)
     for i in range(len(reads)):
         if len(reads[i].alignments) == 0:
             reads[i].alignments.append(i)
-            for j in range(i + 1, len(reads)):
-                if reads[i].name == reads[j].name and reads[i].pos:
-                    reads[i].alignments.append(j)
-                    reads[j].alignments.append(j)
-                    reads[j].alignments.append(i)
-                    reads[j].first = False
+            if reads[i].pos:
+                for j in by_name[reads[i].name]:
+                    if j > i:
+                        reads[i].alignments.append(j)
+                        reads[j].alignments.append(j)
+                        reads[j].alignments.append(i)
+                        reads[j].first = False
     for r in reads:
         r.look_up_kmers()
         r.check_phase()

@@ -18,8 +18,74 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..ops import codec
 from .model import (DepthModel, baysean_genotyper, parse_genotype)
+
+
+class PullTable:
+    """Sorted-array point-lookup table (packed kmer int -> count).
+
+    The batched replacement for the reference's per-position
+    `unordered_map` probes in LookUpKmers (RUFUS.interpret.cpp:3168-3270):
+    one vectorized searchsorted per contig instead of O(len) Python dict
+    hits. Scales to pull tables of any size (memory O(n), lookup O(log n)
+    per key, fully vectorized) — the SURVEY §7.1.9 device-gather design,
+    host-side numpy here because contig batches are small; the same arrays
+    feed jnp gathers unchanged when contig counts grow 1000x."""
+
+    def __init__(self, d: dict):
+        if d:
+            keys = np.fromiter(d.keys(), dtype=np.uint64, count=len(d))
+            vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.vals = vals[order]
+        else:
+            self.keys = np.empty(0, np.uint64)
+            self.vals = np.empty(0, np.int64)
+
+    def get_many(self, q: np.ndarray):
+        """-> (counts int64, found bool) for an array of packed keys."""
+        if len(self.keys) == 0:
+            return (np.zeros(len(q), np.int64), np.zeros(len(q), bool))
+        idx = np.searchsorted(self.keys, q)
+        idx_c = np.minimum(idx, len(self.keys) - 1)
+        found = self.keys[idx_c] == q
+        return np.where(found, self.vals[idx_c], 0), found
+
+
+_CODE_LUT = np.full(256, -1, np.int8)
+for _i, _c in enumerate(b"ACGT"):
+    _CODE_LUT[_c] = _i
+
+
+def hash_columns(seq: str, k: int):
+    """Vectorized getHash over every column: returns (strs, keys, valid).
+
+    strs[j] == get_hash(seq, j, k) exactly (k bases starting at column j,
+    skipping non-base columns, possibly shorter at the tail); keys[j] is
+    its LSB-first 2-bit packing (== Context.h2l of the string); valid[j]
+    is False where the column itself is not a base ('' hash)."""
+    arr = np.frombuffer(seq.encode("latin1"), np.uint8)
+    code = _CODE_LUT[arr]
+    is_base = code >= 0
+    ranks = np.cumsum(is_base) - 1
+    cb_codes = code[is_base].astype(np.uint64)
+    M = len(cb_codes)
+    packed = np.zeros(M, np.uint64)
+    for i in range(k):
+        if i >= M:
+            break
+        packed[: M - i] += cb_codes[i:] << np.uint64(2 * i)
+    cb_str = arr[is_base].tobytes().decode("latin1")
+    strs = [cb_str[r : r + k] if v else ""
+            for r, v in zip(ranks.tolist(), is_base.tolist())]
+    keys = np.zeros(len(arr), np.uint64)
+    if M:
+        keys[is_base] = packed[ranks[is_base]]
+    return strs, keys, is_base
 
 
 def get_hash(seq: str, j: int, k: int) -> str:
@@ -143,6 +209,15 @@ class Context:
         self.par_low_cov_threshold = 7
         self.seg_threshold = 10
         self.seg_threshold_cigar = 10
+
+    def pull_tables(self):
+        """Cached sorted-array views of the subject/parent pull dicts for
+        batched lookups; built on first contig, invalidated never (the
+        dicts are load-once)."""
+        if not hasattr(self, "_pull_tables"):
+            self._pull_tables = (PullTable(self.mutant_hashes),
+                                 [PullTable(p) for p in self.parent_hashes])
+        return self._pull_tables
 
     def h2l(self, s: str) -> int:
         """String key for packed lookups; non-ACGT treated as A (the C++
@@ -353,52 +428,47 @@ class SamRead:
     # -- k-mer vectors ------------------------------------------------------
 
     def look_up_kmers(self):
+        """Per-base alt/ref k-mer counts vs subject+parent tables
+        (LookUpKmers, 3168-3270) — BATCHED: one vectorized hash_columns
+        pass per contig + one searchsorted per (table, strand) instead of
+        per-position dict probes. Output lists are element-identical to
+        the scalar formulation (tested)."""
         ctx = self.ctx
         k = ctx.k
-        self.par_alt_counts = [[] for _ in ctx.parent_hashes]
-        self.par_ref_counts = [[] for _ in ctx.parent_hashes]
-        self.mut_hash_list_counts = []
-        self.mut_contig_counts = []
-        self.mut_alt_counts = []
-        self.mut_ref_counts = []
-        self.ref_kmers = []
-        self.alt_kmers = []
-        mh = ctx.mutant_hashes
-        for j in range(len(self.seq)):
-            h = get_hash(self.seq, j, k)
-            rh = get_hash(self.ref_seq, j, k)
-            self.ref_kmers.append(rh)
-            self.alt_kmers.append(h)
-            if h != "":
-                hv = ctx.h2l(h)
-                if hv in mh:
-                    self.mut_contig_counts.append(mh[hv] * (-1 if h == rh else 1))
-                else:
-                    self.mut_contig_counts.append(0)
-                if h == rh:
-                    self.mut_alt_counts.append(0)
-                    for pi in range(len(ctx.parent_hashes)):
-                        self.par_alt_counts[pi].append(0)
-                else:
-                    self.mut_alt_counts.append(mh.get(hv, -1))
-                    for pi, ph in enumerate(ctx.parent_hashes):
-                        self.par_alt_counts[pi].append(ph.get(hv, -1))
-                self.mut_hash_list_counts.append(ctx.hash.get(h, -1))
-            else:
-                self.mut_contig_counts.append(-3)
-                self.mut_alt_counts.append(-3)
-                self.mut_hash_list_counts.append(-3)
-                for pi in range(len(ctx.parent_hashes)):
-                    self.par_alt_counts[pi].append(-3)
-            if rh != "":
-                rv = ctx.h2l(rh)
-                self.mut_ref_counts.append(mh.get(rv, -1))
-                for pi, ph in enumerate(ctx.parent_hashes):
-                    self.par_ref_counts[pi].append(ph.get(rv, -1))
-            else:
-                self.mut_ref_counts.append(-3)
-                for pi in range(len(ctx.parent_hashes)):
-                    self.par_ref_counts[pi].append(-3)
+        mut_t, par_ts = ctx.pull_tables()
+        alt_strs, alt_keys, alt_ok = hash_columns(self.seq, k)
+        ref_strs, ref_keys, ref_ok = hash_columns(self.ref_seq, k)
+        n = len(self.seq)
+        self.alt_kmers = alt_strs
+        self.ref_kmers = ref_strs
+        same = np.fromiter((a == b for a, b in zip(alt_strs, ref_strs)),
+                           bool, n)
+
+        mh_c, mh_f = mut_t.get_many(alt_keys)
+        contig = np.where(mh_f, mh_c * np.where(same, -1, 1), 0)
+        self.mut_contig_counts = np.where(alt_ok, contig, -3).tolist()
+        alt_c = np.where(mh_f, mh_c, -1)
+        self.mut_alt_counts = np.where(
+            alt_ok, np.where(same, 0, alt_c), -3).tolist()
+        self.par_alt_counts = []
+        for pt in par_ts:
+            pc, pf = pt.get_many(alt_keys)
+            pa = np.where(pf, pc, -1)
+            self.par_alt_counts.append(np.where(
+                alt_ok, np.where(same, 0, pa), -3).tolist())
+        hl = ctx.hash
+        self.mut_hash_list_counts = [
+            (hl.get(h, -1) if ok else -3)
+            for h, ok in zip(alt_strs, alt_ok.tolist())]
+
+        rh_c, rh_f = mut_t.get_many(ref_keys)
+        self.mut_ref_counts = np.where(
+            ref_ok, np.where(rh_f, rh_c, -1), -3).tolist()
+        self.par_ref_counts = []
+        for pt in par_ts:
+            pc, pf = pt.get_many(ref_keys)
+            self.par_ref_counts.append(np.where(
+                ref_ok, np.where(pf, pc, -1), -3).tolist())
 
     def build_up_hash_count_table(self):
         """BuildUpHashCountTable (1425-1565): k-mers built by skipping D/R/H

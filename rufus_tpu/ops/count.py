@@ -93,6 +93,47 @@ def count_reads_batch(ascii_reads: jax.Array, k: int):
 
 
 @jax.jit
+def count_batch_hilo(hi, lo):
+    """Sort+RLE canonical k-mers given as (B, W) u32 (hi, lo) planes (the
+    pallas_count.encode_canon_hilo layout) -> (u64 keys, counts, n).
+
+    Native u32 compares end to end: lax.sort(num_keys=2) avoids the
+    emulated-u64 comparator and the u64 recombine happens once, after the
+    sort, on the already-reduced output.
+    """
+    h = hi.ravel()
+    l = lo.ravel()
+    h, l = jax.lax.sort((h, l), num_keys=2)
+    n = h.shape[0]
+    ones = jnp.uint32(0xFFFFFFFF)
+    neq = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+    head = jnp.concatenate([jnp.ones((1,), bool), neq])
+    nxt = _next_head_after(head, n)
+    run_len = (nxt - jnp.arange(n, dtype=jnp.int32)).astype(jnp.int64)
+    valid_head = head & ~((h == ones) & (l == ones))
+    keys = (h.astype(jnp.uint64) << jnp.uint64(32)) | l.astype(jnp.uint64)
+    uniq = jnp.where(valid_head, keys, SENTINEL)
+    counts = jnp.where(valid_head, run_len, 0)
+    return uniq, counts, valid_head.sum()
+
+
+def count_reads_batch_fast(ascii_reads, k: int):
+    """count_reads_batch with the fused pallas front end when the default
+    backend is a TPU (B must be a multiple of pallas_count.BLK); identical
+    output contract, bit-identical results (tested)."""
+    from . import pallas_count
+
+    B = ascii_reads.shape[0]
+    use_pallas = (jax.default_backend() == "tpu"
+                  and B % pallas_count.BLK == 0)
+    if use_pallas:
+        hi, lo = pallas_count.encode_canon_hilo(ascii_reads, k)
+    else:
+        hi, lo = pallas_count.encode_canon_hilo_xla(ascii_reads, k)
+    return count_batch_hilo(hi, lo)
+
+
+@jax.jit
 def merge_sorted(a_keys, a_counts, b_keys, b_counts):
     """Merge two sorted unique (keys, counts) runs -> sorted RLE result."""
     keys = jnp.concatenate([a_keys, b_keys])

@@ -114,12 +114,40 @@ def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_count_step(mesh, k: int, capacity: int):
     """(global reads (B, L) uint8, data-sharded) -> per-shard sorted unique
     (keys, counts, n) for the shard's k-mer prefix partition. One all_to_all
-    per batch; everything else local."""
+    per batch; everything else local.
+
+    Single-device meshes skip the owner-bucketing entirely (it costs a full
+    stable argsort per batch to route everything to shard 0) and use the
+    fused count kernel (pallas encode on TPU) directly."""
     axis = mesh.axis_names[0]
     n = mesh.devices.size
+
+    if n == 1:
+        # RAW keys out, no per-batch sort: the fold sorts its concat input
+        # anyway, so pre-RLE-ing the batch would pay a whole extra sort of
+        # B*W keys for nothing (rle_sum over the fold's sorted concat sums
+        # count-1 raw keys and table counts identically). Encode is the
+        # fused pallas kernel on TPU.
+        from ..ops import pallas_count
+
+        @jax.jit
+        def single(reads):
+            B = reads.shape[0]
+            if (jax.default_backend() == "tpu"
+                    and B % pallas_count.BLK == 0):
+                hi, lo = pallas_count.encode_canon_hilo(reads, k)
+            else:
+                hi, lo = pallas_count.encode_canon_hilo_xla(reads, k)
+            keys = ((hi.astype(jnp.uint64) << jnp.uint64(32))
+                    | lo.astype(jnp.uint64)).ravel()
+            ones = jnp.where(keys == count.SENTINEL, 0, 1).astype(jnp.int64)
+            return keys[None], ones[None], ones.sum()[None]
+
+        return single
 
     def local(reads):
         codes = codec.encode_bases(reads)
@@ -150,11 +178,18 @@ def sharded_count_step(mesh, k: int, capacity: int):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_fold_step(mesh, table_cap: int):
     """Local merge of the running per-shard table (S, table_cap) with a
-    batch's per-shard RLE (S, bcap) -> new (S, table_cap) table + per-shard
-    unique count (for overflow detection). Collective-free: both sides are
-    already prefix-sharded identically."""
+    batch's per-shard (keys, counts) — RLE'd or RAW count-1 keys alike
+    (rle_sum over the sorted concat treats them identically) -> new
+    (S, table_cap) table + per-shard unique count (for overflow
+    detection). Collective-free: both sides are already prefix-sharded
+    identically.
+
+    Two sorts per fold (merge + compaction — truncation to table_cap is
+    only safe on a hole-free array); ShardedKmerTable.fold_batch amortizes
+    them by buffering several batches per fold."""
     axis = mesh.axis_names[0]
 
     def local(tk, tc, bk, bc):
@@ -176,6 +211,7 @@ def sharded_fold_step(mesh, table_cap: int):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_subtract_step(mesh, n_samples: int):
     """'Present in exactly ONE sample with count >= merge_min' over N
     prefix-sharded tables, fused with the subject count-range filter.
@@ -226,6 +262,7 @@ def sharded_subtract_step(mesh, n_samples: int):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_query_step(mesh, k: int, qcap: int):
     """Point-lookup of data-sharded canonical k-mers against a prefix-
     sharded table: bucket by owner, all_to_all, local searchsorted,
@@ -275,6 +312,7 @@ def sharded_query_step(mesh, k: int, qcap: int):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
 def sharded_filter_step(mesh, k: int, min_q: int, threshold: int):
     """Data-parallel read filter with a replicated mutant table
     (HashLists are small — tens to thousands of k-mers — so replication
@@ -309,7 +347,8 @@ class ShardedKmerTable:
     table bytes ever cross the host boundary until the (tiny) HashList is
     materialized."""
 
-    def __init__(self, mesh, k: int, capacity: int):
+    def __init__(self, mesh, k: int, capacity: int,
+                 pending_budget: int = 48 << 20):
         self.mesh = mesh
         self.k = k
         self.capacity = capacity
@@ -324,18 +363,43 @@ class ShardedKmerTable:
         self.n_unique = jax.device_put(jnp.zeros((n,), jnp.int64),
                                        self._sharding)
         self._fold = sharded_fold_step(mesh, capacity)
+        # fold buffering: batches accumulate device-side until the pending
+        # per-shard element count reaches the budget, then fold once. The
+        # fold's two O(cap + pending) sorts amortize over the buffered
+        # batches; the table contents are batch-boundary independent either
+        # way (sorted-unique RLE), so determinism is unaffected.
+        self._pending: list = []
+        self._pending_els = 0
+        self._pending_budget = pending_budget
 
     def fold_batch(self, batch_keys, batch_counts):
-        """Merge one sharded per-batch RLE (from sharded_count_step) in.
+        """Queue one sharded batch — per-batch RLE from the multi-chip
+        count step or RAW count-1 keys from the single-chip fast path —
+        folding when the buffer budget fills.
 
         The fold reports the true unique count BEFORE truncation, so
         overflow is detected losslessly: the fold is retried after growing
         the table (jellyfish's cooperative resize role,
         hash_counter.hpp:52-56 — but deterministic: the retry produces the
         identical table a bigger initial capacity would have)."""
+        self._pending.append((batch_keys, batch_counts))
+        self._pending_els += batch_keys.shape[-1]
+        if self._pending_els >= self._pending_budget:
+            self.flush()
+
+    def flush(self):
+        """Fold every pending batch into the table. With fixed-size
+        batches only two fold shapes ever compile: the full buffer and the
+        final partial one."""
+        if not self._pending:
+            return
+        bk = jnp.concatenate([k for k, _ in self._pending], axis=-1)
+        bc = jnp.concatenate([c.astype(jnp.int64)
+                              for _, c in self._pending], axis=-1)
+        self._pending = []
+        self._pending_els = 0
         while True:
-            nk, nc, nn = self._fold(self.keys, self.counts,
-                                    batch_keys, batch_counts)
+            nk, nc, nn = self._fold(self.keys, self.counts, bk, bc)
             if int(np.asarray(nn).max()) <= self.capacity:
                 self.keys, self.counts, self.n_unique = nk, nc, nn
                 return
@@ -363,11 +427,13 @@ class ShardedKmerTable:
     def overflowed(self) -> bool:
         """True if any shard's unique-key count hit capacity (keys beyond
         capacity are truncated — caller must rebuild with a larger cap)."""
+        self.flush()
         return bool(np.asarray(self.n_unique).max() > self.capacity)
 
     def apply_lower_count(self, lower: int):
         """jellyfish `count -L` floor (count_main.cc:320-330): drop k-mers
         with final count < lower. Local per shard."""
+        self.flush()
         if lower <= 1:
             return
         axis = self.mesh.axis_names[0]
@@ -388,6 +454,7 @@ class ShardedKmerTable:
     def to_host(self) -> "count.KmerTable":
         """Gather to a host KmerTable (sorted unique across shards —
         prefix partitions are disjoint and ordered by owner bits)."""
+        self.flush()
         keys = np.asarray(self.keys).ravel()
         cnts = np.asarray(self.counts).ravel()
         mask = keys != count.SENTINEL

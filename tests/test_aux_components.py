@@ -84,3 +84,34 @@ def test_longread_annotate_stage(tmp_path):
     assert lines[1] == contig
     # covered prefix has qual > '!', uncovered tail stays floor
     assert any(q > "#" for q in lines[3][:20])
+
+
+def test_hash_columns_matches_scalar_get_hash():
+    """Vectorized hash_columns must equal per-column get_hash exactly,
+    including skipped non-base columns and short tails."""
+    from rufus_tpu.interpret.samread import Context, get_hash, hash_columns
+
+    seq = "ACGT-ACN-GTACGTACGTACGTACGTTTT-AC"
+    k = 7
+    strs, keys, ok = hash_columns(seq, k)
+    ctx = Context.__new__(Context)
+    for j in range(len(seq)):
+        want = get_hash(seq, j, k)
+        assert strs[j] == want, j
+        assert ok[j] == (want != "")
+        if want:
+            assert int(keys[j]) == Context.h2l(ctx, want), j
+
+
+def test_pull_table_matches_dict():
+    from rufus_tpu.interpret.samread import PullTable
+
+    d = {5: 7, 123456789012: -2, 0: 3}
+    t = PullTable(d)
+    q = np.array([5, 6, 0, 123456789012, 99], dtype=np.uint64)
+    counts, found = t.get_many(q)
+    assert counts.tolist() == [7, 0, 3, -2, 0]
+    assert found.tolist() == [True, False, True, True, False]
+    empty = PullTable({})
+    c, f = empty.get_many(q)
+    assert not f.any()

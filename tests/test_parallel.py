@@ -198,6 +198,7 @@ def test_sharded_table_grows_on_overflow():
     for i in range(2):
         bk, bc, _ = step(_shard(mesh, reads[i * (B // 2):(i + 1) * (B // 2)]))
         table.fold_batch(bk, bc)
+    table.flush()  # folds are buffered; force them before inspecting
     assert table.capacity > 16
     assert not table.overflowed()
     host = table.to_host()

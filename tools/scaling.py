@@ -32,7 +32,7 @@ import numpy as np  # noqa: E402
 
 
 def bench_mesh(n_dev: int, per_dev_reads: int = 2048, L: int = 160,
-               k: int = 25, iters: int = 4):
+               k: int = 25, iters: int = 2):
     import jax
     import jax.numpy as jnp
 
@@ -56,17 +56,21 @@ def bench_mesh(n_dev: int, per_dev_reads: int = 2048, L: int = 160,
     bcap = per_dev_reads * (L - k + 1)
     cstep = sharded_count_step(mesh, k, bcap)
     fstep = sharded_filter_step(mesh, k, 15, 1)
-    dev = ShardedKmerTable(mesh, k, capacity=4 * bcap)
 
-    # warm up compiles
-    bk, bc, _ = cstep(batches[0])
-    dev.fold_batch(bk, bc)
+    def count_epoch():
+        dev = ShardedKmerTable(mesh, k, capacity=4 * bcap)
+        for b in batches:
+            bk, bc, _ = cstep(b)
+            dev.fold_batch(bk, bc)
+        dev.flush()  # folds are buffered; charge them to the epoch
+        return dev
+
+    # warm up compiles (count step + both fold shapes + filter)
+    count_epoch()
     fstep(batches[0], quals, lens, table).block_until_ready()
 
     t0 = time.perf_counter()
-    for b in batches:
-        bk, bc, _ = cstep(b)
-        dev.fold_batch(bk, bc)
+    dev = count_epoch()
     jax.block_until_ready((dev.keys, dev.counts))
     count_s = time.perf_counter() - t0
 
