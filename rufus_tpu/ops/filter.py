@@ -197,6 +197,39 @@ def window_hits_small(ascii_reads, quals, lens, table_keys, k: int, min_q: int):
     return jnp.sum(scanned & member, axis=1).astype(jnp.int32)
 
 
+def small_table_hits_auto(reads, quals, lens, keys_np: np.ndarray, k: int,
+                          min_q: int) -> np.ndarray:
+    """Exact per-read hit counts for a SMALL table, picking the fastest
+    backend: the fused Pallas kernel on TPU (fastest measured filter path,
+    ~4.2M reads/s/chip at T=256), the XLA broadcast-compare elsewhere.
+    Handles Pallas' block-size padding; (B,) int32 out."""
+    import jax
+    import jax.numpy as jnp
+
+    B = reads.shape[0]
+    if jax.default_backend() == "tpu" and len(keys_np):
+        from . import pallas_filter
+
+        pad = (-B) % pallas_filter.BLK
+        r = np.asarray(reads)
+        q = np.asarray(quals)
+        l = np.asarray(lens)
+        if pad:
+            r = np.concatenate([r, np.full((pad, r.shape[1]), ord("N"),
+                                           np.uint8)])
+            q = np.concatenate([q, np.full((pad, q.shape[1]), ord("!"),
+                                           np.uint8)])
+            l = np.concatenate([l, np.zeros(pad, l.dtype)])
+        hi, lo = pallas_filter.split_table(keys_np)
+        h = pallas_filter.pallas_window_hits(
+            jnp.asarray(r), jnp.asarray(q), jnp.asarray(l),
+            jnp.asarray(hi), jnp.asarray(lo), k, min_q)
+        return np.asarray(h).ravel()[:B]
+    return np.asarray(window_hits_small(
+        jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
+        jnp.asarray(keys_np), k, min_q))
+
+
 def exact_hits_host(seq: str, qual: str, sorted_keys: np.ndarray, k: int,
                     min_q: int) -> int:
     """Host-exact replication of the RUFUS.Filter window scan for one read."""

@@ -48,6 +48,15 @@ def main():
                         "(runRufus.sh:351-356)")
     p.add_argument("--sharded", default="auto", choices=["auto", "on", "off"],
                    help="mesh-sharded device pipeline (auto: when >1 device)")
+    p.add_argument("--pacbio", nargs="?", const="", default=None,
+                   metavar="CONTIGS_FASTA",
+                   help="long-read (HiFi) path (Overlap.pacbio.sh role): "
+                        "skip short-read assembly; optional external "
+                        "assembly fasta, else accurate reads call directly")
+    p.add_argument("--regenotype", nargs="+", default=None,
+                   metavar="CONTROL_TABLE",
+                   help="re-genotype existing contigs in --workdir against "
+                        "new control tables (.npz) (scripts/Genotype.sh)")
     a = p.parse_args()
     min_cov = a.min
     if a.tumor and min_cov is None:
@@ -63,7 +72,16 @@ def main():
         stop_after=a.stop_after, haploid=a.haploid, saliva=a.saliva,
         clean=a.clean, sharded=a.sharded,
     )
-    final = RufusPipeline(cfg).run()
+    pipe = RufusPipeline(cfg)
+    if a.regenotype is not None:
+        from rufus_tpu.ops import count as rcount
+
+        tables = [rcount.KmerTable.load(p) for p in a.regenotype]
+        final = pipe.regenotype(tables)
+    elif a.pacbio is not None:
+        final = pipe.run_longread(a.pacbio or None)
+    else:
+        final = pipe.run()
     print(final)
 
 

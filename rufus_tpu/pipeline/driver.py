@@ -379,9 +379,9 @@ class RufusPipeline:
                     idxs = np.nonzero(keep)[0]
                     verify = False
                 elif len(keys_np) <= rfilter.SMALL_TABLE_MAX:
-                    h = np.asarray(rfilter.window_hits_small(
-                        jnp.asarray(r), jnp.asarray(q), jnp.asarray(l),
-                        jnp.asarray(keys_np), cfg.k, cfg.filter_min_q))
+                    # pallas fused kernel on TPU, XLA broadcast elsewhere
+                    h = rfilter.small_table_hits_auto(
+                        r, q, l, keys_np, cfg.k, cfg.filter_min_q)
                     idxs = np.nonzero(h >= thr)[0]
                     verify = False
                 else:
@@ -502,14 +502,12 @@ class RufusPipeline:
                                   | self._filter_sharded(r2, q2, l2))[0]
             verify = False
         elif len(self._hl_keys) <= rfilter.SMALL_TABLE_MAX:
-            # small HashList (the typical de novo case): exact on device
-            keys_d = jnp.asarray(self._hl_keys)
-            c1 = np.asarray(rfilter.window_hits_small(
-                jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1), keys_d,
-                cfg.k, cfg.filter_min_q))
-            c2 = np.asarray(rfilter.window_hits_small(
-                jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2), keys_d,
-                cfg.k, cfg.filter_min_q))
+            # small HashList (the typical de novo case): exact on device —
+            # the fused Pallas kernel on TPU, XLA broadcast-compare off it
+            c1 = rfilter.small_table_hits_auto(
+                r1, q1, l1, self._hl_keys, cfg.k, cfg.filter_min_q)
+            c2 = rfilter.small_table_hits_auto(
+                r2, q2, l2, self._hl_keys, cfg.k, cfg.filter_min_q)
             keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
             verify = False
         else:

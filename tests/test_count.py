@@ -100,3 +100,36 @@ def test_subtract_unique_semantics():
     tb = count.KmerTable(k, np.array([codec.str_to_kmer("AAACG")], dtype=np.uint64), np.array([3]))
     out = count.subtract_unique([ta, tb], merge_min=5)
     assert codec.kmers_to_strs(out, k) == ["AAACA"]
+
+
+def test_count_reads_batch_fast_matches_classic():
+    """The fused (pallas-encode) count path must produce the identical
+    (key, count) multiset as the classic XLA path, N bases included."""
+    import jax.numpy as jnp
+
+    from rufus_tpu.ops import count
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    reads = rng.choice(bases, size=(512, 96), p=[.24, .24, .24, .24, .04])
+    r = jnp.asarray(reads)
+    k1, c1, n1 = count.count_reads_batch(r, 25)
+    k2, c2, n2 = count.count_reads_batch_fast(r, 25)
+    assert int(n1) == int(n2)
+    m1 = np.asarray(k1) != count.SENTINEL
+    m2 = np.asarray(k2) != count.SENTINEL
+    a = sorted(zip(np.asarray(k1)[m1].tolist(), np.asarray(c1)[m1].tolist()))
+    b = sorted(zip(np.asarray(k2)[m2].tolist(), np.asarray(c2)[m2].tolist()))
+    assert a == b
+
+
+def test_pallas_count_interpret_matches_xla():
+    from rufus_tpu.ops import pallas_count
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    reads = rng.choice(bases, size=(256, 64), p=[.24, .24, .24, .24, .04])
+    hi_i, lo_i = pallas_count.encode_canon_hilo(reads, 21, interpret=True)
+    hi_x, lo_x = pallas_count.encode_canon_hilo_xla(reads, 21)
+    assert (np.asarray(hi_i) == np.asarray(hi_x)).all()
+    assert (np.asarray(lo_i) == np.asarray(lo_x)).all()
