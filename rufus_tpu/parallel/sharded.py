@@ -80,6 +80,50 @@ def _sort_pairs(keys, cnts):
     return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64), cnts
 
 
+_U32_ONES = np.uint32(0xFFFFFFFF)
+
+
+def _rle_compact_hilo(h, l, counts, cap: int):
+    """RLE sorted (hi, lo) u32 key planes and compact the run heads into
+    width-`cap` outputs (SENTINEL-plane padded, still sorted).
+
+    counts=None means every element contributes 1 (raw keys): run sums are
+    run LENGTHS, read off the next-head scan with no cumsum-gather. With
+    counts, run sums come from a cumsum difference (ops.count.rle_sum).
+
+    Compaction is a sort of (key planes, i32 sums): run heads keep their
+    key, non-heads become the SENTINEL planes, and the sort moves the
+    holes to the tail so truncation to cap is lossless. A cumsum+scatter
+    compaction was tried and is ~5x SLOWER on TPU (XLA lowers large
+    variable-index scatters to near-serial updates, ~9M el/s measured on
+    v5e) — comparator sorts are the only fast reorder primitive, which is
+    why this whole engine is sort-shaped in the first place.
+
+    Returns (hi, lo, sums_i32, n_unique); keys beyond cap are DROPPED —
+    callers must treat n_unique > cap as overflow and retry bigger."""
+    n = h.shape[0]
+    neq = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+    head = jnp.concatenate([jnp.ones((1,), bool), neq])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_sent = (h == _U32_ONES) & (l == _U32_ONES)
+    valid = head & ~is_sent
+    marks = jnp.where(head, idx, jnp.int32(n))
+    nxt_ge = jnp.flip(jax.lax.cummin(jnp.flip(marks)))
+    nxt = jnp.concatenate([nxt_ge[1:], jnp.full((1,), n, jnp.int32)])
+    if counts is None:
+        sums = nxt - idx  # run lengths, i32
+    else:
+        c = jnp.cumsum(counts.astype(jnp.int64))
+        c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), c[:-1]])
+        end = jnp.minimum(nxt, n) - 1
+        sums = (c[end] - c_prev).astype(jnp.int32)
+    uh = jnp.where(valid, h, _U32_ONES)
+    ul = jnp.where(valid, l, _U32_ONES)
+    us = jnp.where(valid, sums, 0)
+    uh, ul, us = jax.lax.sort((uh, ul, us), num_keys=2)
+    return uh[:cap], ul[:cap], us[:cap], valid.sum(dtype=jnp.int64)
+
+
 def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
                      payload=None):
     """Route keys (+ optional payload) into (n_shards, capacity) bins padded
@@ -144,10 +188,14 @@ def sharded_count_step(mesh, k: int, capacity: int):
                 hi, lo = pallas_count.encode_canon_hilo_xla(reads, k)
             keys = ((hi.astype(jnp.uint64) << jnp.uint64(32))
                     | lo.astype(jnp.uint64)).ravel()
-            ones = jnp.where(keys == count.SENTINEL, 0, 1).astype(jnp.int64)
-            return keys[None], ones[None], ones.sum()[None]
+            nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
+            return keys[None], nn[None]
 
-        return single
+        def run(reads):
+            keys, nn = single(reads)
+            return keys, None, nn
+
+        return run
 
     def local(reads):
         codes = codec.encode_bases(reads)
@@ -156,21 +204,25 @@ def sharded_count_step(mesh, k: int, capacity: int):
         keys = jnp.where(valid, canon, count.SENTINEL).ravel()
         owner = jnp.where(keys == count.SENTINEL, n, _owners(keys, n, k))
         bins, _, _, _, _, _ = _bucket_by_owner(keys, owner, n, capacity)
-        # exchange: shard i sends bins[j] to shard j
+        # exchange: shard i sends bins[j] to shard j. The routed keys come
+        # back RAW (count-1 each) — per-batch sort+RLE here would cost two
+        # capacity-wide sorts per batch for compaction the fold's buffered
+        # sort does anyway (and cheaper, amortized over several batches).
         if n > 1:
             bins = jax.lax.all_to_all(bins[None], axis, split_axis=1,
                                       concat_axis=0, tiled=False)
-        keys = bins.reshape(-1)
-        s, _ = _sort_pairs(keys, jnp.zeros(keys.shape, jnp.int32))
-        ones = jnp.ones(s.shape, dtype=jnp.int64)
-        uk, cnts, nn = count.rle_sum(s, ones)
-        # compact: sort by key again so real runs lead, SENTINEL pads trail
-        uk, cnts = _sort_pairs(uk, cnts)
-        return uk[None], cnts[None], nn[None]
+        keys = bins.reshape(1, -1)
+        nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
+        return keys, nn[None]
 
-    f = shard_map(local, mesh=mesh, in_specs=P(axis),
-                  out_specs=P(axis), check_vma=False)
-    return jax.jit(f)
+    f = jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
+                          out_specs=(P(axis), P(axis)), check_vma=False))
+
+    def run(reads):
+        keys, nn = f(reads)
+        return keys, None, nn
+
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -179,30 +231,68 @@ def sharded_count_step(mesh, k: int, capacity: int):
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_fold_step(mesh, table_cap: int):
+def sharded_fold_step(mesh, table_cap: int, raw: bool = False):
     """Local merge of the running per-shard table (S, table_cap) with a
-    batch's per-shard (keys, counts) — RLE'd or RAW count-1 keys alike
-    (rle_sum over the sorted concat treats them identically) -> new
-    (S, table_cap) table + per-shard unique count (for overflow
-    detection). Collective-free: both sides are already prefix-sharded
-    identically.
+    buffer of per-shard batch keys -> new (S, table_cap) table + per-shard
+    unique count (for overflow detection). Collective-free: both sides are
+    already prefix-sharded identically.
 
-    Two sorts per fold (merge + compaction — truncation to table_cap is
-    only safe on a hole-free array); ShardedKmerTable.fold_batch amortizes
-    them by buffering several batches per fold."""
+    raw=True: batch keys are RAW count-1 k-mers (the count step's output —
+    it defers all reduction here). The pending side then sorts with NO
+    payload (a 2-operand u32-plane sort, ~1/3 less comparator traffic than
+    dragging a count lane through) and its counts fall out as run lengths.
+
+    Fold cost structure (replaces the old two (cap+P)-wide 3-op i64
+    sorts):
+      1. sort pending (P wide; 2 u32 lanes when raw)   — dominant
+      2. RLE + sort-compact pending to table_cap (3 lanes, i32 sums)
+      3. sort table||compacted-pending (2*table_cap, 3 lanes) — small
+      4. RLE + sort-compact to table_cap
+    On the bench shapes (P=48M, cap=4M) that is ~2.2x less sorted lane
+    traffic (5 lanes over P + 6 over 2cap, vs 8 lanes over cap+P twice).
+    Overflow stays lossless: n_unique reports max(pending unique, merged
+    unique) BEFORE truncation, and ShardedKmerTable.flush grows + retries
+    on overflow."""
     axis = mesh.axis_names[0]
 
-    def local(tk, tc, bk, bc):
-        keys = jnp.concatenate([tk[0], bk[0]])
-        cnts = jnp.concatenate([tc[0], bc[0]])
-        keys, cnts = _sort_pairs(keys, cnts)
-        uk, us, nn = count.rle_sum(keys, cnts)
-        uk, us = _sort_pairs(uk, us)
-        return uk[None, :table_cap], us[None, :table_cap], nn[None]
+    def _merge_with_table(tk, tc, ph, plo, pc, pn):
+        # i32 count lanes through the sorts (a per-sample k-mer count
+        # beyond 2^31 would be >2% of all windows of a 100Gbp run — far
+        # past MaxHashDepth's ~1e5 cap); table storage stays i64
+        th = (tk[0] >> jnp.uint64(32)).astype(jnp.uint32)
+        tl = tk[0].astype(jnp.uint32)
+        mh = jnp.concatenate([th, ph])
+        ml = jnp.concatenate([tl, plo])
+        mc = jnp.concatenate([tc[0].astype(jnp.int32), pc])
+        mh, ml, mc = jax.lax.sort((mh, ml, mc), num_keys=2)
+        oh, ol, oc, mn = _rle_compact_hilo(mh, ml, mc, table_cap)
+        keys = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
+        nn = jnp.maximum(mn, pn)
+        return keys[None], oc.astype(jnp.int64)[None], nn[None]
 
-    f = shard_map(local, mesh=mesh,
-                  in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                  out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    if raw:
+        def local(tk, tc, bk):
+            bh = (bk[0] >> jnp.uint64(32)).astype(jnp.uint32)
+            bl = bk[0].astype(jnp.uint32)
+            bh, bl = jax.lax.sort((bh, bl), num_keys=2)
+            ph, plo, pc, pn = _rle_compact_hilo(bh, bl, None, table_cap)
+            return _merge_with_table(tk, tc, ph, plo, pc, pn)
+
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(axis), P(axis), P(axis)),
+                      out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    else:
+        def local(tk, tc, bk, bc):
+            bh = (bk[0] >> jnp.uint64(32)).astype(jnp.uint32)
+            bl = bk[0].astype(jnp.uint32)
+            bc32 = bc[0].astype(jnp.int32)  # per-buffer counts fit i32
+            bh, bl, bc32 = jax.lax.sort((bh, bl, bc32), num_keys=2)
+            ph, plo, pc, pn = _rle_compact_hilo(bh, bl, bc32, table_cap)
+            return _merge_with_table(tk, tc, ph, plo, pc, pn)
+
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                      out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
     return jax.jit(f)
 
 
@@ -362,7 +452,6 @@ class ShardedKmerTable:
             jnp.zeros((n, capacity), jnp.int64), self._sharding)
         self.n_unique = jax.device_put(jnp.zeros((n,), jnp.int64),
                                        self._sharding)
-        self._fold = sharded_fold_step(mesh, capacity)
         # fold buffering: batches accumulate device-side until the pending
         # per-shard element count reaches the budget, then fold once. The
         # fold's two O(cap + pending) sorts amortize over the buffered
@@ -372,10 +461,10 @@ class ShardedKmerTable:
         self._pending_els = 0
         self._pending_budget = pending_budget
 
-    def fold_batch(self, batch_keys, batch_counts):
-        """Queue one sharded batch — per-batch RLE from the multi-chip
-        count step or RAW count-1 keys from the single-chip fast path —
-        folding when the buffer budget fills.
+    def fold_batch(self, batch_keys, batch_counts=None):
+        """Queue one sharded batch — RAW count-1 keys from the count step
+        (batch_counts=None) or pre-RLE'd (keys, counts) — folding when the
+        buffer budget fills.
 
         The fold reports the true unique count BEFORE truncation, so
         overflow is detected losslessly: the fold is retried after growing
@@ -394,12 +483,22 @@ class ShardedKmerTable:
         if not self._pending:
             return
         bk = jnp.concatenate([k for k, _ in self._pending], axis=-1)
-        bc = jnp.concatenate([c.astype(jnp.int64)
-                              for _, c in self._pending], axis=-1)
+        raw = all(c is None for _, c in self._pending)
+        if raw:
+            bc = None
+        else:
+            bc = jnp.concatenate(
+                [(jnp.ones(k.shape, jnp.int32) if c is None
+                  else c.astype(jnp.int32))
+                 for k, c in self._pending], axis=-1)
         self._pending = []
         self._pending_els = 0
         while True:
-            nk, nc, nn = self._fold(self.keys, self.counts, bk, bc)
+            fold = sharded_fold_step(self.mesh, self.capacity, raw)
+            if raw:
+                nk, nc, nn = fold(self.keys, self.counts, bk)
+            else:
+                nk, nc, nn = fold(self.keys, self.counts, bk, bc)
             if int(np.asarray(nn).max()) <= self.capacity:
                 self.keys, self.counts, self.n_unique = nk, nc, nn
                 return
@@ -422,7 +521,6 @@ class ShardedKmerTable:
                               out_specs=(P(axis), P(axis)),
                               check_vma=False))
         self.keys, self.counts = f(self.keys, self.counts)
-        self._fold = sharded_fold_step(self.mesh, self.capacity)
 
     def overflowed(self) -> bool:
         """True if any shard's unique-key count hit capacity (keys beyond
