@@ -47,25 +47,63 @@ P = jax.sharding.PartitionSpec
 def make_mesh(n_devices: int | None = None, axis: str = "d"):
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        # fail fast: silently building a smaller mesh turns sized routing
+        # capacities into guaranteed overflow (e.g. the axon TPU plugin
+        # winning backend selection over a virtual CPU mesh request)
+        raise ValueError(
+            f"mesh wants {n} devices but backend "
+            f"{jax.default_backend()!r} has {len(devs)}")
     return jax.sharding.Mesh(np.array(devs[:n]), (axis,))
 
 
-def _owner_shift(n_shards: int) -> int:
-    """Keys are partitioned by their top bits: owner = key >> shift (mod n).
-    The packing is MSB-first at bit 2k-1..0, so shift off all but the top
-    log2(n) *used* bits — but using the raw top of the u64 (bits 63..) is
-    wrong for k<32 (they're always 0). Use 2k-aware shift at call sites via
-    _owners(); this helper is the 64-bit fallback."""
-    return 64 - max(1, (n_shards - 1).bit_length())
+# Owner assignment: a multiplicative mixer over the (hi, lo) u32 planes of
+# the canonical k-mer. Plain top-bit partitioning is load-imbalanced on real
+# genomes (canonical = min(fwd, rc) biases keys low; base composition skews
+# further); hashing decorrelates owner from sequence content — the role of
+# jellyfish's invertible matrix hash (large_hash_array.hpp:298-325), except
+# we never need to invert because the key rides along with its slot.
+_MIX1 = np.uint32(0x9E3779B1)
+_MIX2 = np.uint32(0x85EBCA77)
+_MIX3 = np.uint32(0xC2B2AE3D)
+
+
+def _owner_hash_hilo(hi, lo, n_shards: int):
+    """Owner shard of each k-mer given as u32 (hi, lo) planes. Near-uniform
+    for any key distribution and any n_shards (not just powers of two).
+    Native u32 arithmetic only (no emulated-u64 ops on TPU)."""
+    if n_shards == 1:
+        return jnp.zeros(hi.shape, jnp.int32)
+    h = (hi * _MIX1) ^ (lo * _MIX2)
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * _MIX3
+    h = h ^ (h >> jnp.uint32(13))
+    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
 
 
 def _owners(keys, n_shards: int, k: int):
-    """Owner shard of each canonical k-mer: top bits of the 2k-bit value."""
+    """Owner shard of u64 canonical k-mers (hash-partitioned; see
+    _owner_hash_hilo). `k` is unused but kept for call-site clarity."""
+    del k
     if n_shards == 1:
         return jnp.zeros(keys.shape, jnp.int32)
-    bits = max(1, (n_shards - 1).bit_length())
-    shift = jnp.uint64(2 * k - bits)
-    return ((keys >> shift).astype(jnp.int32)) % n_shards
+    hi = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = keys.astype(jnp.uint32)
+    return _owner_hash_hilo(hi, lo, n_shards)
+
+
+def route_capacity(m: int, n_shards: int, slack: float = 0.3) -> int:
+    """Per-peer routing capacity for m keys spread over n_shards bins by a
+    uniform hash: mean + max(slack*mean, 6*sqrt(mean)), rounded up to a
+    lane-aligned multiple of 128 and clamped to m (can't receive more than
+    everything). Overflow beyond this is *detected* (lossless) and callers
+    retry with double the capacity — the ShardedKmerTable._grow pattern."""
+    if n_shards == 1:
+        return m
+    mean = m / n_shards
+    cap = mean + max(slack * mean, 6.0 * np.sqrt(max(mean, 1.0)))
+    cap = int(-(-cap // 128) * 128)
+    return max(128, min(m, cap))
 
 
 def _sort_pairs(keys, cnts):
@@ -124,14 +162,45 @@ def _rle_compact_hilo(h, l, counts, cap: int):
     return uh[:cap], ul[:cap], us[:cap], valid.sum(dtype=jnp.int64)
 
 
+def _route_segments(owner, planes, fills, n_shards: int, capacity: int):
+    """Scatter-free routing: sort the key planes by owner, then cut each
+    owner's contiguous segment into a (n_shards, capacity) bin row with one
+    dynamic_slice per row (TPU dynamic_slice is fast; variable-index
+    scatters lower near-serially — measured ~9M el/s on v5e).
+
+    owner: (m,) i32, entries == n_shards mean "invalid, drop silently".
+    planes: tuple of (m,) arrays routed together; fills: pad value per
+    plane. Returns (routed planes each (n_shards, capacity), dropped) where
+    `dropped` counts VALID keys lost to capacity overflow — callers must
+    treat dropped > 0 as a retry-with-bigger-capacity signal."""
+    m = owner.shape[0]
+    sorted_all = jax.lax.sort((owner,) + tuple(planes), num_keys=1)
+    owner_s, planes_s = sorted_all[0], sorted_all[1:]
+    bounds = jnp.arange(n_shards + 1, dtype=owner.dtype)
+    starts = jnp.searchsorted(owner_s, bounds).astype(jnp.int32)
+    seg_len = starts[1:] - starts[:-1]
+    dropped = jnp.sum(jnp.maximum(seg_len - capacity, 0).astype(jnp.int64))
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_shards, capacity), 1)
+    in_seg = col < seg_len[:, None]
+    routed = []
+    for p, fill in zip(planes_s, fills):
+        padded = jnp.concatenate([p, jnp.full((capacity,), fill, p.dtype)])
+        rows = jnp.stack([
+            jax.lax.dynamic_slice(padded, (starts[q],), (capacity,))
+            for q in range(n_shards)])
+        routed.append(jnp.where(in_seg, rows, fill))
+    return routed, dropped
+
+
 def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
                      payload=None):
     """Route keys (+ optional payload) into (n_shards, capacity) bins padded
-    with SENTINEL. Returns bins (and payload bins, and the (owner, rank)
-    coordinates of each input so callers can un-route replies).
+    with SENTINEL. Returns bins (and payload bins, the (owner, rank)
+    coordinates of each input so callers can un-route replies, and the
+    count of valid keys dropped by capacity overflow).
 
-    Overflow beyond capacity is dropped; callers size capacity for lossless
-    routing (<= total keys)."""
+    Callers must check `dropped` and retry with a bigger capacity when
+    nonzero — routing is otherwise lossless."""
     n = keys_flat.shape[0]
     order = jnp.argsort(owner, stable=True)
     keys_sorted = keys_flat[order]
@@ -140,6 +209,7 @@ def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
     starts = jnp.searchsorted(owner_sorted, jnp.arange(n_shards + 1))
     rank = idx - starts[owner_sorted]
     ok = (owner_sorted < n_shards) & (rank < capacity)
+    dropped = jnp.sum((~ok) & (owner_sorted < n_shards), dtype=jnp.int64)
     # not-ok entries are routed OUT OF BOUNDS and dropped by the scatter —
     # parking them at a real bin like (0,0) would clobber a legitimate key
     row = jnp.where(ok, owner_sorted, 0)
@@ -150,7 +220,7 @@ def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
     if payload is not None:
         pbins = jnp.zeros((n_shards, capacity), dtype=payload.dtype)
         pbins = pbins.at[row, col].set(payload[order], mode="drop")
-    return bins, pbins, order, row, col, ok
+    return bins, pbins, order, row, col, ok, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -158,15 +228,29 @@ def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def sharded_count_step(mesh, k: int, capacity: int):
-    """(global reads (B, L) uint8, data-sharded) -> per-shard sorted unique
-    (keys, counts, n) for the shard's k-mer prefix partition. One all_to_all
-    per batch; everything else local.
+def sharded_count_step(mesh, k: int, capacity: int, route_cap: int | None = None):
+    """(global reads (B, L) uint8, data-sharded) -> per-shard RAW routed
+    keys for the shard's k-mer hash partition, as
+    (keys, counts=None, n, dropped). One all_to_all per batch; everything
+    else local.
 
-    Single-device meshes skip the owner-bucketing entirely (it costs a full
-    stable argsort per batch to route everything to shard 0) and use the
+    `capacity` is the per-device window count (reads_per_dev * (L-k+1));
+    `route_cap` is the PER-PEER bin width — O(capacity/n), so the
+    all_to_all moves n*route_cap ~= (1+slack)*capacity slots per device
+    and the downstream fold width is O(batch) INDEPENDENT of device count
+    (the round-2 design routed `capacity` per peer: n x oversized).
+    Overflow past route_cap is counted in `dropped` (per-device i64);
+    callers retry the batch with a doubled route_cap when it fires.
+
+    Single-device meshes skip the owner-bucketing entirely and use the
     fused count kernel (pallas encode on TPU) directly."""
+    if route_cap is None:
+        route_cap = route_capacity(capacity, mesh.devices.size)
+    return _sharded_count_step(mesh, k, capacity, route_cap)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
     axis = mesh.axis_names[0]
     n = mesh.devices.size
 
@@ -191,36 +275,45 @@ def sharded_count_step(mesh, k: int, capacity: int):
             nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
             return keys[None], nn[None]
 
+        zero = jnp.zeros((1,), jnp.int64)
+
         def run(reads):
             keys, nn = single(reads)
-            return keys, None, nn
+            return keys, None, nn, zero
 
         return run
 
     def local(reads):
-        codes = codec.encode_bases(reads)
-        kmers, valid = codec.pack_kmers(codes, k)
-        canon = codec.canonical_kmers(kmers, k)
-        keys = jnp.where(valid, canon, count.SENTINEL).ravel()
-        owner = jnp.where(keys == count.SENTINEL, n, _owners(keys, n, k))
-        bins, _, _, _, _, _ = _bucket_by_owner(keys, owner, n, capacity)
+        from ..ops import pallas_count
+
+        B = reads.shape[0]
+        if (jax.default_backend() == "tpu" and B % pallas_count.BLK == 0):
+            hi, lo = pallas_count.encode_canon_hilo(reads, k)
+        else:
+            hi, lo = pallas_count.encode_canon_hilo_xla(reads, k)
+        hi, lo = hi.ravel(), lo.ravel()
+        is_sent = (hi == _U32_ONES) & (lo == _U32_ONES)
+        owner = jnp.where(is_sent, n, _owner_hash_hilo(hi, lo, n))
+        (bh, bl), dropped = _route_segments(
+            owner, (hi, lo), (_U32_ONES, _U32_ONES), n, route_cap)
+        bins = (bh.astype(jnp.uint64) << jnp.uint64(32)) | bl.astype(jnp.uint64)
         # exchange: shard i sends bins[j] to shard j. The routed keys come
         # back RAW (count-1 each) — per-batch sort+RLE here would cost two
         # capacity-wide sorts per batch for compaction the fold's buffered
         # sort does anyway (and cheaper, amortized over several batches).
-        if n > 1:
-            bins = jax.lax.all_to_all(bins[None], axis, split_axis=1,
-                                      concat_axis=0, tiled=False)
+        bins = jax.lax.all_to_all(bins[None], axis, split_axis=1,
+                                  concat_axis=0, tiled=False)
         keys = bins.reshape(1, -1)
         nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
-        return keys, nn[None]
+        return keys, nn[None], dropped[None]
 
     f = jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
-                          out_specs=(P(axis), P(axis)), check_vma=False))
+                          out_specs=(P(axis), P(axis), P(axis)),
+                          check_vma=False))
 
     def run(reads):
-        keys, nn = f(reads)
-        return keys, None, nn
+        keys, nn, dropped = f(reads)
+        return keys, None, nn, dropped
 
     return run
 
@@ -258,12 +351,15 @@ def sharded_fold_step(mesh, table_cap: int, raw: bool = False):
     def _merge_with_table(tk, tc, ph, plo, pc, pn):
         # i32 count lanes through the sorts (a per-sample k-mer count
         # beyond 2^31 would be >2% of all windows of a 100Gbp run — far
-        # past MaxHashDepth's ~1e5 cap); table storage stays i64
+        # past MaxHashDepth's ~1e5 cap); table storage stays i64 and the
+        # narrow saturates instead of wrapping, so even a pathological
+        # count can never go negative and get dropped by apply_lower_count
         th = (tk[0] >> jnp.uint64(32)).astype(jnp.uint32)
         tl = tk[0].astype(jnp.uint32)
         mh = jnp.concatenate([th, ph])
         ml = jnp.concatenate([tl, plo])
-        mc = jnp.concatenate([tc[0].astype(jnp.int32), pc])
+        tc32 = jnp.minimum(tc[0], jnp.int64(2**31 - 1)).astype(jnp.int32)
+        mc = jnp.concatenate([tc32, pc])
         mh, ml, mc = jax.lax.sort((mh, ml, mc), num_keys=2)
         oh, ol, oc, mn = _rle_compact_hilo(mh, ml, mc, table_cap)
         keys = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
@@ -352,28 +448,39 @@ def sharded_subtract_step(mesh, n_samples: int):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
-def sharded_query_step(mesh, k: int, qcap: int):
-    """Point-lookup of data-sharded canonical k-mers against a prefix-
+def sharded_query_step(mesh, k: int, qcap: int, route_cap: int | None = None):
+    """Point-lookup of data-sharded canonical k-mers against a hash-
     sharded table: bucket by owner, all_to_all, local searchsorted,
     all_to_all back, un-route. Replaces `jellyfish query` pulls
     (Overlap.shorter.sh:265-303) at pod scale.
 
     queries: (S, Q) u64 data-sharded; table keys/counts (S, cap)
-    prefix-sharded. Returns (S, Q) i64 counts (0 when absent)."""
+    hash-sharded. qcap = per-device query count Q. route_cap is the
+    PER-PEER bin width, O(qcap/n) (round 2 routed qcap per peer — n x
+    oversized). Returns ((S, Q) i64 counts (0 when absent), (S,) dropped);
+    dropped > 0 means some queries never reached their owner — the caller
+    must retry with a doubled route_cap for correct counts."""
+    if route_cap is None:
+        route_cap = route_capacity(qcap, mesh.devices.size)
+    return _sharded_query_step(mesh, k, qcap, route_cap)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int):
     axis = mesh.axis_names[0]
     n = mesh.devices.size
 
     def local(queries, tk, tc):
         q = queries.reshape(-1)
         owner = _owners(q, n, k)
-        bins, _, order, row, col, ok = _bucket_by_owner(q, owner, n, qcap)
+        bins, _, order, row, col, ok, dropped = _bucket_by_owner(
+            q, owner, n, route_cap)
         if n > 1:
             routed = jax.lax.all_to_all(bins[None], axis, split_axis=1,
                                         concat_axis=0, tiled=False)
         else:
             routed = bins[None]
-        rq = routed.reshape(n, qcap)
+        rq = routed.reshape(n, route_cap)
         keys, cnts = tk[0], tc[0]
         idx = jnp.searchsorted(keys, rq)
         idx_c = jnp.minimum(idx, keys.shape[0] - 1)
@@ -383,18 +490,14 @@ def sharded_query_step(mesh, k: int, qcap: int):
                                       concat_axis=0, tiled=False)
         else:
             back = ans[None]
-        back = back.reshape(n, qcap)
+        back = back.reshape(n, route_cap)
         got_sorted = jnp.where(ok, back[row, col], 0)
         out = jnp.zeros(q.shape, dtype=back.dtype).at[order].set(got_sorted)
-        return out.reshape(queries.shape)[None]
+        return out.reshape(queries.shape)[None], dropped[None]
 
     f = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
-                  out_specs=P(axis), check_vma=False)
-
-    def run(queries, tk, tc):
-        return f(queries, tk, tc)
-
-    return jax.jit(run)
+                  out_specs=(P(axis), P(axis)), check_vma=False)
+    return jax.jit(f)
 
 
 # ---------------------------------------------------------------------------
@@ -499,20 +602,28 @@ class ShardedKmerTable:
                 nk, nc, nn = fold(self.keys, self.counts, bk)
             else:
                 nk, nc, nn = fold(self.keys, self.counts, bk, bc)
-            if int(np.asarray(nn).max()) <= self.capacity:
+            need = int(np.asarray(nn).max())
+            if need <= self.capacity:
                 self.keys, self.counts, self.n_unique = nk, nc, nn
                 return
-            self._grow()
+            # the fold reports the true per-shard unique count BEFORE
+            # truncation, so grow straight to a capacity that fits (one
+            # retry) instead of doubling once per retry (each doubling
+            # would compile a fresh fold shape)
+            self._grow(need)
 
-    def _grow(self):
-        """Double per-shard capacity in place (SENTINEL/zero padding)."""
+    def _grow(self, need: int | None = None):
+        """Grow per-shard capacity in place (SENTINEL/zero padding) to at
+        least `need` (lane-aligned), minimum doubling."""
         old = self.capacity
-        self.capacity = old * 2
+        target = max(old * 2, 1 << max(1, int(need or 1) - 1).bit_length())
+        self.capacity = target
+        pad = target - old
         axis = self.mesh.axis_names[0]
 
         def local(tk, tc):
-            pk = jnp.full((1, old), count.SENTINEL, jnp.uint64)
-            pc = jnp.zeros((1, old), jnp.int64)
+            pk = jnp.full((1, pad), count.SENTINEL, jnp.uint64)
+            pc = jnp.zeros((1, pad), jnp.int64)
             return (jnp.concatenate([tk, pk], axis=1),
                     jnp.concatenate([tc, pc], axis=1))
 

@@ -63,7 +63,8 @@ class RufusPipeline:
         self.mesh = make_mesh(n)
         self.n_devices = n
         self._dev_tables: dict = {}  # stub -> ShardedKmerTable (resident)
-        self._count_step = None
+        self._route_cap = None  # per-peer all_to_all bin width (grows on
+        # overflow, the lossless retry protocol of sharded_count_step)
 
     # -- reference handling -------------------------------------------------
 
@@ -190,7 +191,8 @@ class RufusPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..parallel import ShardedKmerTable, sharded_count_step
+        from ..parallel import (ShardedKmerTable, route_capacity,
+                                sharded_count_step)
 
         cfg = self.cfg
         table_path = self.cfg.wpath(stub + ".table.npz")
@@ -204,22 +206,45 @@ class RufusPipeline:
             self._log(f"count for {stub}: outputs exist but the stream "
                       "never completed; recounting")
         mesh = self.mesh
-        if self._count_step is None:
-            bcap = (cfg.batch_size // self.n_devices) * \
-                (cfg.read_pad - cfg.k + 1)
-            self._count_step = sharded_count_step(mesh, cfg.k, bcap)
+        n_dev = self.n_devices
+        bcap = (cfg.batch_size // n_dev) * (cfg.read_pad - cfg.k + 1)
+        if self._route_cap is None:
+            self._route_cap = route_capacity(bcap, n_dev)
+            if n_dev > 1:
+                self._log(
+                    f"count routing: {n_dev} devices, route_cap="
+                    f"{self._route_cap}/peer -> "
+                    f"{n_dev * self._route_cap * 8} B exchanged per device "
+                    f"per batch ({bcap * 8} B useful payload; O(batch), "
+                    f"independent of device count)")
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
-        dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
         meter = Throughput(name=f"count[{stub}] reads")
         if stream is None:
             stream = self._prefetch(
                 self._batch_stream(path, progress_path=progress_path))
-        for seq in stream:
-            bk, bc, _ = self._count_step(
-                jax.device_put(jnp.asarray(seq), sharding))
-            dev.fold_batch(bk, bc)
-            meter.add(seq.shape[0])
+        while True:
+            step = sharded_count_step(mesh, cfg.k, bcap, self._route_cap)
+            dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
+            dropped = []
+            for seq in stream:
+                bk, bc, _, dr = step(
+                    jax.device_put(jnp.asarray(seq), sharding))
+                dev.fold_batch(bk, bc)
+                dropped.append(dr)
+                meter.add(seq.shape[0])
+            # lossless routing guarantee: any key that overflowed a
+            # route bin was counted (not silently lost); grow + redo the
+            # sample, like ShardedKmerTable._grow for table overflow.
+            # The sum is checked once per sample, off the hot loop.
+            n_dropped = int(sum(int(np.asarray(d).sum()) for d in dropped))
+            if n_dropped == 0:
+                break
+            self._route_cap *= 2
+            self._log(f"count[{stub}]: {n_dropped} keys overflowed routing "
+                      f"bins; retrying with route_cap={self._route_cap}")
+            stream = self._prefetch(
+                self._batch_stream(path, progress_path=progress_path))
         if not bam.stream_complete(progress_path):
             raise RuntimeError(
                 f"count stream for {path} ended without the completion "

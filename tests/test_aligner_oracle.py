@@ -30,7 +30,6 @@ import pytest
 from rufus_tpu.align.aligner import (Aligner, Alignment, RefIndex, encode,
                                      GAP_EXT, GAP_OPEN, MATCH, MISMATCH)
 
-RNG = np.random.default_rng(20260820)
 BASES = np.frombuffer(b"ACGT", np.uint8)
 
 
@@ -117,7 +116,10 @@ def test_score_and_placement_match_oracle(ctx, kind):
     """End-to-end aligner score == independent-DP optimal score, and the
     reported CIGAR re-scores to it at the reported position."""
     al, ref, genome = ctx
-    rng = np.random.default_rng(hash(kind) % 2**32)
+    # fixed per-kind seed: Python str hash is randomized per process, so a
+    # hash()-derived seed would make CI failures unreproducible locally
+    rng = np.random.default_rng(
+        {"clean": 0, "snv": 1, "ins": 2, "del": 3}[kind])
     n_checked = 0
     for t in range(8):
         start = int(rng.integers(0, len(ref) - 160))

@@ -55,7 +55,8 @@ def _build_sharded(mesh, reads, k, cap, batches=2, lower=0):
         if step is None:
             bcap = (chunk.shape[0] // n_dev) * (reads.shape[1] - k + 1)
             step = sharded_count_step(mesh, k, bcap)
-        bk, bc, _ = step(_shard(mesh, chunk))
+        bk, bc, _, dr = step(_shard(mesh, chunk))
+        assert int(np.asarray(dr).sum()) == 0, "routing bins overflowed"
         table.fold_batch(bk, bc)
     if lower > 1:
         table.apply_lower_count(lower)
@@ -175,11 +176,45 @@ def test_sharded_query_matches_host(n_dev):
     queries = np.concatenate([q_real, canon])
     rng.shuffle(queries)
     Q = len(queries) // n_dev
-    qstep = sharded_query_step(mesh, k, qcap=Q * n_dev)
-    got = np.asarray(qstep(_shard(mesh, queries.reshape(n_dev * 2, -1)),
-                           table.keys, table.counts)).ravel()
+    qstep = sharded_query_step(mesh, k, qcap=Q)
+    ans, dropped = qstep(_shard(mesh, queries.reshape(n_dev * 2, -1)),
+                         table.keys, table.counts)
+    assert int(np.asarray(dropped).sum()) == 0
+    got = np.asarray(ans).ravel()
     want = host.query(queries)
     np.testing.assert_array_equal(got, want)
+
+
+@needs_mesh
+def test_route_capacity_is_o_batch_and_overflow_detected():
+    """Per-peer routing bins are O(batch/n) — NOT O(batch) per peer (the
+    round-2 n-times-oversized exchange) — and undersized bins report
+    dropped keys losslessly instead of silently corrupting counts."""
+    from rufus_tpu.parallel.sharded import route_capacity
+
+    bcap = 256 * 1024
+    for n in (2, 4, 8):
+        rcap = route_capacity(bcap, n)
+        # exchange volume per device = n*rcap ~= (1+slack)*bcap
+        assert n * rcap <= 2 * bcap, (n, rcap)
+        assert rcap >= bcap // n  # can't be smaller than the mean load
+    # force overflow: a route_cap below the per-peer mean load guarantees
+    # some peer bin overflows; the dropped count must exactly cover the
+    # keys that didn't make it (lossless accounting)
+    k = 13
+    B, L = 16 * 8, 48
+    rng = np.random.default_rng(2)
+    reads = rng.choice(BASES, size=(B, L))
+    mesh = make_mesh(8)
+    bcap = (B // 8) * (L - k + 1)  # 576 keys/device, mean 72/peer
+    step = sharded_count_step(mesh, k, bcap, route_cap=32)
+    bk, _, _, dr = step(_shard(mesh, reads))
+    n_dropped = int(np.asarray(dr).sum())
+    kept = int(np.asarray(jnp.sum(bk != count.SENTINEL)))
+    _, counts, _ = count.count_reads_batch(jnp.asarray(reads), k)
+    total_valid = int(np.asarray(counts).sum())
+    assert n_dropped > 0, "expected overflow at route_cap=32"
+    assert kept + n_dropped == total_valid, "drop accounting is lossy"
 
 
 @needs_mesh
@@ -196,7 +231,7 @@ def test_sharded_table_grows_on_overflow():
     step = sharded_count_step(mesh, k, bcap)
     table = ShardedKmerTable(mesh, k, capacity=16)  # absurdly small
     for i in range(2):
-        bk, bc, _ = step(_shard(mesh, reads[i * (B // 2):(i + 1) * (B // 2)]))
+        bk, bc, _, _ = step(_shard(mesh, reads[i * (B // 2):(i + 1) * (B // 2)]))
         table.fold_batch(bk, bc)
     table.flush()  # folds are buffered; force them before inspecting
     assert table.capacity > 16

@@ -37,7 +37,8 @@ def bench_mesh(n_dev: int, per_dev_reads: int = 2048, L: int = 160,
     import jax.numpy as jnp
 
     from rufus_tpu.parallel import (ShardedKmerTable, make_mesh,
-                                    sharded_count_step, sharded_filter_step)
+                                    route_capacity, sharded_count_step,
+                                    sharded_filter_step)
 
     mesh = make_mesh(n_dev)
     axis = mesh.axis_names[0]
@@ -54,14 +55,20 @@ def bench_mesh(n_dev: int, per_dev_reads: int = 2048, L: int = 160,
         rng.integers(0, 1 << 50, size=4096, dtype=np.uint64))), rep)
 
     bcap = per_dev_reads * (L - k + 1)
-    cstep = sharded_count_step(mesh, k, bcap)
+    rcap = route_capacity(bcap, n_dev)
+    cstep = sharded_count_step(mesh, k, bcap, rcap)
     fstep = sharded_filter_step(mesh, k, 15, 1)
+    dropped_boxes = []
 
     def count_epoch():
         dev = ShardedKmerTable(mesh, k, capacity=4 * bcap)
         for b in batches:
-            bk, bc, _ = cstep(b)
+            bk, bc, _, dr = cstep(b)
+            # virtual CPU devices share one thread pool: force the
+            # all_to_all to finish before fold partitions can occupy it
+            jax.block_until_ready(bk)
             dev.fold_batch(bk, bc)
+            dropped_boxes.append(dr)
         dev.flush()  # folds are buffered; charge them to the epoch
         return dev
 
@@ -80,11 +87,18 @@ def bench_mesh(n_dev: int, per_dev_reads: int = 2048, L: int = 160,
     filter_s = time.perf_counter() - t0
 
     total = B * iters
+    n_dropped = int(sum(int(np.asarray(d).sum()) for d in dropped_boxes))
+    assert n_dropped == 0, f"routing bins overflowed ({n_dropped} keys)"
     return {
         "devices": n_dev,
         "reads": total,
         "count_reads_per_s": round(total / count_s, 1),
         "filter_reads_per_s": round(total / filter_s, 1),
+        # checkable exchange-volume model: per-peer bin width is
+        # O(bcap/n), so per-device all_to_all volume stays O(batch)
+        "route_cap_per_peer": rcap,
+        "exchanged_bytes_per_device_per_batch": n_dev * rcap * 8,
+        "useful_payload_bytes_per_device_per_batch": bcap * 8,
     }
 
 
