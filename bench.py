@@ -112,7 +112,7 @@ def main():
     def count_epoch():
         table = ShardedKmerTable(mesh, K, 1 << 22)
         for r_d, _ in dev_batches:
-            bk, bc, _ = step(r_d)
+            bk, bc, _, _dr = step(r_d)
             table.fold_batch(bk, bc)
         table.flush()
         return table
@@ -124,6 +124,24 @@ def main():
     count_dt = time.perf_counter() - t0
     count_rps = B * ITERS / count_dt
     n_unique = int(np.asarray(table.n_unique).max())
+
+    # measured bandwidth of the dominant primitive: lax.sort over the
+    # pending buffer's u32 key planes at its actual flush size
+    pend = min(48 << 20, (B * (L - K + 1)) * ITERS)
+    hs = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << 32, pend, np.uint32)))
+    ls = jax.device_put(jnp.asarray(
+        rng.integers(0, 1 << 32, pend, np.uint32)))
+    srt = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2))
+    float(jnp.asarray(srt(hs, ls)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out_s = srt(hs, ls)
+    float(jnp.asarray(out_s[0]).ravel()[0])
+    sort_dt = (time.perf_counter() - t0) / 3
+    lg = int(np.ceil(np.log2(pend)))
+    sort_passes_pend = lg * (lg + 1) // 2
+    sort_gbps = sort_passes_pend * pend * 8 * 2 / sort_dt / 1e9
 
     # ---- filter (pipeline _filter_batch small-table branch) ----
     hl_d = jax.device_put(jnp.asarray(hl_keys))
@@ -177,6 +195,9 @@ def main():
             "includes": "device fold into resident table + host verify of "
                         "kept reads; coverage reads w/ Ns",
             "h2d_ms_per_batch_via_relay": round(h2d_ms, 1),
+            "fused_with_h2d_reads_per_s": round(
+                1.0 / (1.0 / count_rps + 1.0 / filter_rps
+                       + h2d_ms / 1e3 / B), 1),
             "table_unique_kmers": n_unique,
             "kept_reads": total_kept,
             "device": str(jax.devices()[0]),
@@ -184,8 +205,15 @@ def main():
                 "read_stream_bytes_per_batch": 2 * B * L,
                 "sort_keys_per_batch": n_keys,
                 "est_bitonic_passes": sort_passes,
+                "measured_sort2_ms_at_pending_size": round(sort_dt * 1e3, 1),
+                "measured_sort2_eff_gbps_vs_hbm_820": round(sort_gbps, 0),
                 "note": "count is comparator-sort bound (no TPU scatter "
-                        "=> no radix); pallas fuses the encode front end",
+                        "=> no radix); pallas fuses the encode front end "
+                        "and streams the RLE compaction (pallas_fold); "
+                        "sort eff GB/s uses the naive log^2/2-pass model "
+                        "— above-820 values mean XLA's sort already "
+                        "fuses passes in VMEM, i.e. the model's pass "
+                        "count, not HBM, is the binding resource",
             },
         },
     }))
