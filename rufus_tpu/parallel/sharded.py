@@ -315,10 +315,13 @@ def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
                                   concat_axis=0, tiled=False)
         keys = bins.reshape(1, -1)
         nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
-        return keys, nn[None], dropped[None]
+        # replicated total: host-readable on every process of a
+        # multi-process mesh
+        dropped = jax.lax.psum(dropped, axis)
+        return keys, nn[None], dropped
 
     f = jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
-                          out_specs=(P(axis), P(axis), P(axis)),
+                          out_specs=(P(axis), P(axis), P()),
                           check_vma=False))
 
     def run(reads):
@@ -358,6 +361,18 @@ def sharded_fold_step(mesh, table_cap: int, raw: bool = False):
     on overflow."""
     axis = mesh.axis_names[0]
 
+    axis_name = axis
+    n_shards = mesh.devices.size
+
+    def _shard_max(v):
+        """Replicated max over shards: host-readable on EVERY process of
+        a multi-process mesh. all_gather+max rather than pmax — the axon
+        TPU backend only lowers Sum all-reduces — and skipped entirely
+        on one-device meshes."""
+        if n_shards == 1:
+            return v
+        return jnp.max(jax.lax.all_gather(v, axis_name))
+
     def _merge_with_table(tk, tc, ph, plo, pc, pn):
         # i32 count lanes through the sorts (a per-sample k-mer count
         # beyond 2^31 would be >2% of all windows of a 100Gbp run — far
@@ -373,8 +388,8 @@ def sharded_fold_step(mesh, table_cap: int, raw: bool = False):
         mh, ml, mc = jax.lax.sort((mh, ml, mc), num_keys=2)
         oh, ol, oc, mn = _rle_compact_hilo(mh, ml, mc, table_cap)
         keys = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
-        nn = jnp.maximum(mn, pn)
-        return keys[None], oc.astype(jnp.int64)[None], nn[None]
+        nn = _shard_max(jnp.maximum(mn, pn))
+        return keys[None], oc.astype(jnp.int64)[None], nn
 
     if raw:
         def local(tk, tc, bk):
@@ -386,7 +401,7 @@ def sharded_fold_step(mesh, table_cap: int, raw: bool = False):
 
         f = shard_map(local, mesh=mesh,
                       in_specs=(P(axis), P(axis), P(axis)),
-                      out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+                      out_specs=(P(axis), P(axis), P()), check_vma=False)
     else:
         def local(tk, tc, bk, bc):
             bh = (bk[0] >> jnp.uint64(32)).astype(jnp.uint32)
@@ -398,7 +413,7 @@ def sharded_fold_step(mesh, table_cap: int, raw: bool = False):
 
         f = shard_map(local, mesh=mesh,
                       in_specs=(P(axis), P(axis), P(axis), P(axis)),
-                      out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+                      out_specs=(P(axis), P(axis), P()), check_vma=False)
     return jax.jit(f)
 
 
@@ -508,10 +523,11 @@ def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int):
         back = back.reshape(n, route_cap)
         got_sorted = jnp.where(ok, back[row, col], 0)
         out = jnp.zeros(q.shape, dtype=back.dtype).at[order].set(got_sorted)
-        return out.reshape(queries.shape)[None], dropped[None]
+        return (out.reshape(queries.shape)[None],
+                jax.lax.psum(dropped, axis))
 
     f = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
-                  out_specs=(P(axis), P(axis)), check_vma=False)
+                  out_specs=(P(axis), P()), check_vma=False)
     return jax.jit(f)
 
 
@@ -568,8 +584,9 @@ class ShardedKmerTable:
             self._sharding)
         self.counts = jax.device_put(
             jnp.zeros((n, capacity), jnp.int64), self._sharding)
-        self.n_unique = jax.device_put(jnp.zeros((n,), jnp.int64),
-                                       self._sharding)
+        # replicated scalar (max over shards): host-readable on every
+        # process of a multi-process mesh
+        self.n_unique = jnp.zeros((), jnp.int64)
         # fold buffering: batches accumulate device-side until the pending
         # per-shard element count reaches the budget, then fold once. The
         # fold's two O(cap + pending) sorts amortize over the buffered
@@ -667,11 +684,14 @@ class ShardedKmerTable:
             uk = jnp.where(keep, tk[0], count.SENTINEL)
             us = jnp.where(keep, tc[0], 0)
             uk, us = _sort_pairs(uk, us)
-            return uk[None], us[None], keep.sum(dtype=jnp.int64)[None]
+            nn = keep.sum(dtype=jnp.int64)
+            if self.mesh.devices.size > 1:  # axon lowers only Sum
+                nn = jnp.max(jax.lax.all_gather(nn, axis))
+            return uk[None], us[None], nn
 
         f = jax.jit(shard_map(local, mesh=self.mesh,
                               in_specs=(P(axis), P(axis)),
-                              out_specs=(P(axis), P(axis), P(axis)),
+                              out_specs=(P(axis), P(axis), P()),
                               check_vma=False))
         self.keys, self.counts, self.n_unique = f(self.keys, self.counts)
 
