@@ -127,6 +127,136 @@ class RefIndex:
         return lo, hi
 
 
+FLAT_MAGIC = b"RTA1"
+
+
+def build_flat_index(contigs: dict[str, np.ndarray], path: str,
+                     seed_len: int = 19, max_occ: int = 64,
+                     bucket_bits: int = 8):
+    """Build a RefIndex as a FLAT FILE with bounded host memory.
+
+    An in-RAM RefIndex holds every (seed, position) pair (~12 bytes per
+    genome base: ~36 GB for human+decoys, README.md:106) — the round-2
+    whole-genome blocker. This builder needs only O(genome/2^bucket_bits)
+    RAM: pass 1 scans the genome once, appending each seed to one of
+    2^bucket_bits spill files by its TOP BITS (so bucket order == key
+    order); pass 2 sorts each bucket in RAM and appends it to the final
+    file. Layout: magic, header json (names/lengths/starts/seed_len/n),
+    genome u8, keys u64, positions u32 — all memmappable.
+    """
+    import json
+    import os
+    import tempfile
+
+    names = list(contigs)
+    starts, parts, off = {}, [], 0
+    for n in names:
+        starts[n] = off
+        parts.append(contigs[n])
+        off += len(contigs[n])
+        parts.append(np.full(seed_len, ord("N"), np.uint8))
+        off += seed_len
+    genome = np.concatenate(parts) if parts else np.empty(0, np.uint8)
+    total = off
+    nb = 1 << bucket_bits
+    shift = np.uint64(2 * seed_len - bucket_bits)
+
+    tmpdir = tempfile.mkdtemp(prefix="flatidx.", dir=os.path.dirname(path) or ".")
+    bucket_files = [open(os.path.join(tmpdir, f"b{i:03d}"), "wb")
+                    for i in range(nb)]
+    try:
+        chunk = 8 << 20
+        n_seeds = 0
+        for c0 in range(0, len(genome), chunk):
+            seg = genome[max(0, c0): c0 + chunk + seed_len - 1]
+            codes = encode(seg)
+            if len(codes) < seed_len:
+                continue
+            kmers, valid = _pack_host(codes, seed_len)
+            pos = np.nonzero(valid)[0]
+            keys = kmers[pos]
+            gpos = (pos + c0).astype(np.uint32)
+            b = (keys >> shift).astype(np.int32)
+            order = np.argsort(b, kind="stable")
+            keys, gpos, b = keys[order], gpos[order], b[order]
+            bounds = np.searchsorted(b, np.arange(nb + 1))
+            for i in range(nb):
+                lo, hi = bounds[i], bounds[i + 1]
+                if hi > lo:
+                    rec = np.empty(hi - lo, dtype=[("k", "<u8"), ("p", "<u4")])
+                    rec["k"], rec["p"] = keys[lo:hi], gpos[lo:hi]
+                    rec.tofile(bucket_files[i])
+                    n_seeds += hi - lo
+        for f in bucket_files:
+            f.close()
+        header = json.dumps({
+            "names": names, "lengths": {n: len(contigs[n]) for n in names},
+            "starts": starts, "seed_len": seed_len, "max_occ": max_occ,
+            "total": total, "genome_len": len(genome), "n_seeds": int(n_seeds),
+        }).encode()
+        # pad so the u64 keys plane lands 8-byte aligned: a misaligned
+        # memmap sends np.searchsorted down a ~1000x slower unaligned
+        # path (measured 160 ms per lookup batch)
+        pre = 4 + 8 + len(header)
+        pad_bytes = (-(pre + len(genome))) % 8
+        with open(path, "wb") as out:
+            out.write(FLAT_MAGIC)
+            out.write(np.array([len(header)], dtype="<u8").tobytes())
+            out.write(header)
+            genome.tofile(out)
+            out.write(b"\0" * pad_bytes)
+            for i in range(nb):  # keys plane, bucket-sorted
+                rec = np.fromfile(os.path.join(tmpdir, f"b{i:03d}"),
+                                  dtype=[("k", "<u8"), ("p", "<u4")])
+                order = np.argsort(rec["k"], kind="stable")
+                rec["k"][order].tofile(out)
+            for i in range(nb):  # positions plane, same order
+                rec = np.fromfile(os.path.join(tmpdir, f"b{i:03d}"),
+                                  dtype=[("k", "<u8"), ("p", "<u4")])
+                order = np.argsort(rec["k"], kind="stable")
+                rec["p"][order].tofile(out)
+    finally:
+        for i in range(nb):
+            p = os.path.join(tmpdir, f"b{i:03d}")
+            if os.path.exists(p):
+                os.unlink(p)
+        os.rmdir(tmpdir)
+    return path
+
+
+def open_flat_index(path: str) -> "RefIndex":
+    """Open a build_flat_index file as a RefIndex whose genome/seed
+    arrays are memmapped (demand-paged): host RAM stays O(pages touched),
+    the RUFUS.search.1kg.cpp mmap+binary-search idiom applied to the
+    aligner (checkPage:135/search:214)."""
+    import json
+
+    with open(path, "rb") as f:
+        if f.read(4) != FLAT_MAGIC:
+            raise ValueError(f"{path}: not a flat ref index")
+        (hlen,) = np.frombuffer(f.read(8), dtype="<u8")
+        header = json.loads(f.read(int(hlen)).decode())
+    off = 4 + 8 + int(hlen)
+    g_len = header["genome_len"]
+    n = header["n_seeds"]
+    idx = RefIndex.__new__(RefIndex)
+    idx.seed_len = header["seed_len"]
+    idx.max_occ = header["max_occ"]
+    idx.names = header["names"]
+    idx.starts = {k: int(v) for k, v in header["starts"].items()}
+    idx.lengths = {k: int(v) for k, v in header["lengths"].items()}
+    idx.total = header["total"]
+    idx.contigs = None  # not materialized; genome below is the source
+    idx.genome = np.memmap(path, dtype=np.uint8, mode="r", offset=off,
+                           shape=(g_len,))
+    koff = off + g_len + ((-(off + g_len)) % 8)  # 8-aligned keys plane
+    idx.seed_keys = np.memmap(path, dtype="<u8", mode="r",
+                              offset=koff, shape=(n,))
+    idx.seed_pos = np.memmap(path, dtype="<u4", mode="r",
+                             offset=koff + 8 * n, shape=(n,))
+    return idx
+
+
 def _pack_host(codes: np.ndarray, k: int):
     """Host windowed packing (numpy mirror of ops.codec.pack_kmers)."""
     L = len(codes)
@@ -260,16 +390,33 @@ class Aligner:
         clusters.sort(key=lambda c: -c[1])
         return clusters[:max_cands]
 
-    def _extend(self, seq: str, diag: int, pad: int = 64):
+    def _window(self, seq: str, diag: int, pad: int = 64):
+        """(codes, ref window codes, window global start) for a candidate
+        diagonal; None when the window is empty."""
         codes = encode(np.frombuffer(seq.encode(), np.uint8))
         L = len(codes)
         g0 = max(0, diag - pad)
         g1 = min(self.ref.total, diag + L + pad)
         if g1 <= g0:
             return None
-        window = encode(self.ref.genome[g0:g1])
-        best, H = sw_kernel(codes, window)
-        score, bi, bj = best
+        window = encode(np.asarray(self.ref.genome[g0:g1]))
+        return codes, window, g0
+
+    def _extend(self, seq: str, diag: int, pad: int = 64, dp=None):
+        """Align one candidate. `dp` carries a precomputed (H, score,
+        bi, bj) from the batched device kernel (sw_device.sw_batch —
+        bit-identical to sw_kernel, tests/test_sw_device.py); without it
+        the host DP runs here."""
+        win = self._window(seq, diag, pad)
+        if win is None:
+            return None
+        codes, window, g0 = win
+        L = len(codes)
+        if dp is None:
+            best, H = sw_kernel(codes, window)
+            score, bi, bj = best
+        else:
+            H, score, bi, bj = dp
         if score <= 0:
             return None
         qi, rj, ops, nm = _traceback(codes, window, H, bi, bj)
@@ -326,11 +473,14 @@ class Aligner:
         return ["M"] * n, mm, n
 
     def align_seq(self, name: str, seq: str, qual: str, max_cands: int = 4,
-                  min_score: int = 30, splits: bool = False):
+                  min_score: int = 30, splits: bool = False, _dp_map=None):
         """Best local alignment of seq (both strands) -> list[Alignment].
 
         With splits=True, re-aligns long unaligned tails as supplementary
         records (bwa mem -Y behavior needed by interpret's SV passes).
+        _dp_map: {(strand, diag): (H, score, bi, bj)} precomputed by the
+        batched device path (align_seqs); absent entries fall back to the
+        host DP.
         """
         fwd = seq.upper()
         rev = codec.revcomp_str(fwd)
@@ -338,7 +488,8 @@ class Aligner:
         for strand, s in ((0, fwd), (1, rev)):
             codes = encode(np.frombuffer(s.encode(), np.uint8))
             for diag, cnt in self._candidates(codes):
-                ext = self._extend(s, diag)
+                dp = None if _dp_map is None else _dp_map.get((strand, diag))
+                ext = self._extend(s, diag, dp=dp)
                 if ext is None:
                     continue
                 score, gstart, cigar, nm, qs, qe = ext
@@ -365,6 +516,68 @@ class Aligner:
         out = [self._to_alignment(name, qual, best, mapq, False)]
         if splits:
             out.extend(self._find_splits(name, qual, best, results, min_score))
+        return out
+
+    def align_seqs(self, items, max_cands: int = 4, min_score: int = 30,
+                   splits: bool = False, batch: int = 256):
+        """Batched alignment: the candidate DPs of MANY sequences run as
+        chunked device kernels (sw_device.sw_batch), then each sequence's
+        traceback/selection proceeds exactly as align_seq — bit-identical
+        output (the device DP equals the host DP, test_sw_device.py;
+        everything downstream is shared code).
+
+        items: iterable of (name, seq, qual). `batch` caps candidates per
+        device call, bounding the returned-H footprint at roughly
+        batch * (max_q+1) * (max_w+1) * 4 bytes."""
+        items = list(items)
+        # phase 1: gather every candidate window (host seed lookup)
+        cand_list = []  # (item_idx, strand, diag, codes, window, g0)
+        per_item_strs = []
+        for idx, (name, seq, qual) in enumerate(items):
+            fwd = seq.upper()
+            rev = codec.revcomp_str(fwd)
+            per_item_strs.append((fwd, rev))
+            for strand, s in ((0, fwd), (1, rev)):
+                codes = encode(np.frombuffer(s.encode(), np.uint8))
+                for diag, _cnt in self._candidates(codes, max_cands):
+                    win = self._window(s, diag)
+                    if win is None:
+                        continue
+                    cand_list.append((idx, strand, diag) + win)
+
+        # phase 2: chunked device DPs, bucketed to two pad shapes
+        dp_maps = [dict() for _ in items]
+        if cand_list:
+            from . import sw_device
+
+            def rnd(x, m=32):
+                return -(-x // m) * m
+
+            buckets: dict[tuple[int, int], list] = {}
+            for cand in cand_list:
+                q, w = cand[3], cand[4]
+                buckets.setdefault((rnd(len(q)), rnd(len(w))), []).append(cand)
+            for (qn, wn), cands in buckets.items():
+                for b0 in range(0, len(cands), batch):
+                    chunk = cands[b0 : b0 + batch]
+                    qb = np.full((len(chunk), qn), 255, np.uint8)
+                    wb = np.full((len(chunk), wn), 255, np.uint8)
+                    for i, (_, _, _, q, w, _) in enumerate(chunk):
+                        qb[i, : len(q)] = q
+                        wb[i, : len(w)] = w
+                    H, s, bi, bj = sw_device.sw_batch(qb, wb)
+                    for i, (idx, strand, diag, q, w, g0) in enumerate(chunk):
+                        # slice H back to the candidate's true dims: 255
+                        # padding never matches, so the region is exact
+                        dp_maps[idx][(strand, diag)] = (
+                            H[i, : len(q) + 1, : len(w) + 1],
+                            int(s[i]), int(bi[i]), int(bj[i]))
+
+        # phase 3: per-sequence selection, unchanged host logic
+        out = []
+        for idx, (name, seq, qual) in enumerate(items):
+            out.append(self.align_seq(name, seq, qual, max_cands, min_score,
+                                      splits, _dp_map=dp_maps[idx]))
         return out
 
     @staticmethod

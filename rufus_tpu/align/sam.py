@@ -30,10 +30,18 @@ def align_pairs(aligner: Aligner, pairs):
     are pre-filtered mutant pairs where independent alignment suffices —
     revisit if pairing rescue shows up in parity gaps).
     """
-    out = []
+    pairs = list(pairs)
+    # both mates of every pair aligned in ONE batched device-DP pass
+    # (bit-identical to per-read align_seq, tests/test_aligner_batched.py)
+    items = []
     for name, s1, q1, s2, q2 in pairs:
-        a1 = aligner.align_seq(name, s1, q1)[0]
-        a2 = aligner.align_seq(name, s2, q2)[0]
+        items.append((name, s1, q1))
+        items.append((name, s2, q2))
+    alns = aligner.align_seqs(items)
+    out = []
+    for i, (name, s1, q1, s2, q2) in enumerate(pairs):
+        a1 = alns[2 * i][0]
+        a2 = alns[2 * i + 1][0]
         f1 = a1.flag | FLAG_PAIRED | FLAG_MATE1
         f2 = a2.flag | FLAG_PAIRED | FLAG_MATE2
         if a2.is_unmapped:

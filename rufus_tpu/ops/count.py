@@ -254,8 +254,10 @@ class KmerTable:
             for s, c in zip(codec.kmers_to_strs(self.keys, self.k), self.counts):
                 f.write(f"{s} {c}\n")
 
-    # flat binary layout: 4-byte magic, u64 k, u64 n, n*u64 keys, n*i64 counts
-    FLAT_MAGIC = b"RTK1"
+    # flat binary layout: 4-byte magic + 4 pad (8-ALIGNS the u64 planes:
+    # a misaligned memmap sends np.searchsorted down a ~1000x slower
+    # unaligned path), u64 k, u64 n, n*u64 keys, n*i64 counts
+    FLAT_MAGIC = b"RTK2"
 
     def save_flat(self, path: str):
         """Page-aligned-friendly flat table for out-of-core queries
@@ -264,7 +266,7 @@ class KmerTable:
         searchsorted — only O(log n) pages fault per lookup, so huge
         population tables (1000-Genomes) never need to fit in RAM)."""
         with open(path, "wb") as f:
-            f.write(self.FLAT_MAGIC)
+            f.write(self.FLAT_MAGIC + b"\0\0\0\0")
             np.array([self.k, len(self.keys)], dtype="<u8").tofile(f)
             self.keys.astype("<u8").tofile(f)
             self.counts.astype("<i8").tofile(f)
@@ -276,8 +278,9 @@ class KmerTable:
         with open(path, "rb") as f:
             if f.read(4) != cls.FLAT_MAGIC:
                 raise ValueError(f"{path}: not a flat k-mer table")
+            f.read(4)
             k, n = (int(v) for v in np.fromfile(f, dtype="<u8", count=2))
-        off = 4 + 16
+        off = 8 + 16
         if mmap:
             keys = np.memmap(path, dtype="<u8", mode="r", offset=off, shape=(n,))
             counts = np.memmap(path, dtype="<i8", mode="r", offset=off + 8 * n,

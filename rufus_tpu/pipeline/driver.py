@@ -573,9 +573,9 @@ class RufusPipeline:
             self._log("skipping read alignment")
             return sam_path
         al = Aligner(self.ref_index())
-        if m2_path is None:  # single-end
-            alns = [al.align_seq(n, s, q)[0]
-                    for n, s, q in fastq.read_fastq(m1_path)]
+        if m2_path is None:  # single-end, batched device DP
+            alns = [g[0]
+                    for g in al.align_seqs(list(fastq.read_fastq(m1_path)))]
         else:
             pairs = [
                 (n1, s1, qq1, s2, qq2)
@@ -658,10 +658,11 @@ class RufusPipeline:
         al = Aligner(self.ref_index())
         recs = list(fastq.read_fastq(contigs_path))
 
-        # contig alignments with splits (bwa mem -Y role)
+        # contig alignments with splits (bwa mem -Y role), candidate DPs
+        # batched on device (sw_device.sw_batch)
         alns = []
-        for n, s, q in recs:
-            alns.extend(al.align_seq(n, s, q, splits=True))
+        for group in al.align_seqs(recs, splits=True):
+            alns.extend(group)
         alns = rsam.sort_alignments(alns)
         stdin_lines = []
         by_name: dict[str, list] = {}
