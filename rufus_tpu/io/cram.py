@@ -1,0 +1,808 @@
+"""CRAM 3.0 reader/writer (spec subset) — the third input modality.
+
+The reference accepts BAM/CRAM/FASTQ interchangeably because its
+generators are `samtools view` one-liners (runRufus.sh:218-240); this
+module gives the pipeline the same reach without htslib. Implemented
+from the CRAM 3.0 specification (no CRAM tooling exists in this
+environment, so fixtures come from the writer below; the format
+structures — itf8/ltf8 varints, container/block framing with CRC32,
+compression-header maps, slice headers, feature-coded sequence
+reconstruction against the reference — follow the spec so
+htslib-written files using the same core subset decode too).
+
+Subset supported by the READER:
+* containers with gzip (method 1) or raw (0) blocks;
+* encodings: EXTERNAL(1), HUFFMAN(3) in its common degenerate
+  zero-bit single-symbol form, BYTE_ARRAY_STOP(5), BYTE_ARRAY_LEN(4)
+  with nested EXTERNAL lengths/values;
+* data series BF CF RI RL AP RG RN MF NS NP TS NF TL FN FC FP BS IN SC
+  DL BA QS MQ (the set needed for name/flag/seq/qual recovery);
+* mapped-read sequences rebuilt from the reference + substitution
+  matrix/features; unmapped reads from the BA series.
+
+The WRITER emits single-slice containers, all-EXTERNAL encodings and
+explicit preservation/substitution maps — well-formed CRAM 3.0 that any
+spec reader handles. Round-trip plus BAM-parity tests: tests/test_cram.py.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+CRAM_MAGIC = b"CRAM\x03\x00"
+
+# block content types
+CT_FILE_HEADER = 0
+CT_COMPRESSION_HEADER = 1
+CT_SLICE_HEADER = 2
+CT_EXTERNAL = 4
+
+# encoding codec ids
+E_EXTERNAL = 1
+E_HUFFMAN = 3
+E_BYTE_ARRAY_LEN = 4
+E_BYTE_ARRAY_STOP = 5
+
+_SUB_BASES = "ACGTN"
+
+
+# ---------------------------------------------------------------------------
+# varints
+# ---------------------------------------------------------------------------
+
+
+def write_itf8(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF,
+                      v & 0xFF])
+    return bytes([0xF0 | ((v >> 28) & 0x0F), (v >> 20) & 0xFF,
+                  (v >> 12) & 0xFF, (v >> 4) & 0xFF, v & 0x0F])
+
+
+def read_itf8(buf: io.BytesIO) -> int:
+    b0 = buf.read(1)[0]
+    if b0 < 0x80:
+        return b0
+    if b0 < 0xC0:
+        return ((b0 & 0x7F) << 8) | buf.read(1)[0]
+    if b0 < 0xE0:
+        b = buf.read(2)
+        return ((b0 & 0x3F) << 16) | (b[0] << 8) | b[1]
+    if b0 < 0xF0:
+        b = buf.read(3)
+        return ((b0 & 0x1F) << 24) | (b[0] << 16) | (b[1] << 8) | b[2]
+    b = buf.read(4)
+    return (((b0 & 0x0F) << 28) | (b[0] << 20) | (b[1] << 12)
+            | (b[2] << 4) | (b[3] & 0x0F))
+
+
+def write_ltf8(v: int) -> bytes:
+    if v < 0x80:
+        return bytes([v])
+    n = v.bit_length()
+    for i, bits in enumerate((14, 21, 28, 35, 42, 49, 56)):
+        if n <= bits:
+            nb = i + 2
+            lead = (0xFF << (9 - nb)) & 0xFF
+            body = v.to_bytes(nb, "big")
+            return bytes([lead | body[0]]) + body[1:]
+    return b"\xFF" + v.to_bytes(8, "big")
+
+
+def read_ltf8(buf: io.BytesIO) -> int:
+    b0 = buf.read(1)[0]
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+        if n == 8:
+            break
+    if n == 8:
+        return int.from_bytes(buf.read(8), "big")
+    rest = buf.read(n)
+    lead = b0 & (0xFF >> (n + 1))
+    return int.from_bytes(bytes([lead]) + rest, "big")
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+def _write_block(out, content_type: int, content_id: int, data: bytes,
+                 gz: bool = False):
+    raw_size = len(data)
+    method = 0
+    if gz:
+        data = zlib.compress(data, 6)
+        method = 1
+    body = (bytes([method]) + write_itf8(content_type)
+            + write_itf8(content_id) + write_itf8(len(data))
+            + write_itf8(raw_size) + data)
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    out.write(body + struct.pack("<I", crc))
+
+
+def _read_block(buf: io.BytesIO):
+    start = buf.tell()
+    method = buf.read(1)[0]
+    ctype = read_itf8(buf)
+    cid = read_itf8(buf)
+    comp_size = read_itf8(buf)
+    raw_size = read_itf8(buf)
+    data = buf.read(comp_size)
+    end = buf.tell()
+    buf.seek(start)
+    body = buf.read(end - start)
+    (crc,) = struct.unpack("<I", buf.read(4))
+    if zlib.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("CRAM block CRC mismatch")
+    if method == 1:
+        data = zlib.decompress(data)
+    elif method == 2:  # bzip2
+        import bz2
+
+        data = bz2.decompress(data)
+    elif method != 0:
+        raise NotImplementedError(f"CRAM compression method {method}")
+    if len(data) != raw_size:
+        raise ValueError("CRAM block size mismatch")
+    return ctype, cid, data
+
+
+# ---------------------------------------------------------------------------
+# encodings (reader side)
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    """MSB-first bit reader over the core block."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            bit = (byte >> (7 - (self.pos & 7))) & 1
+            v = (v << 1) | bit
+            self.pos += 1
+        return v
+
+
+def _parse_encoding(buf: io.BytesIO):
+    codec = read_itf8(buf)
+    n = read_itf8(buf)
+    params = buf.read(n)
+    return codec, params
+
+
+class _Decoder:
+    """One data series' decoder bound to its blocks."""
+
+    def __init__(self, codec, params, ext_blocks, core):
+        self.codec = codec
+        self.core = core
+        p = io.BytesIO(params)
+        if codec == E_EXTERNAL:
+            # a series may have no block when the slice never used it
+            self.buf = io.BytesIO(ext_blocks.get(read_itf8(p), b""))
+        elif codec == E_HUFFMAN:
+            nsym = read_itf8(p)
+            self.symbols = [read_itf8(p) for _ in range(nsym)]
+            nlen = read_itf8(p)
+            self.lengths = [read_itf8(p) for _ in range(nlen)]
+            if any(l != 0 for l in self.lengths):
+                raise NotImplementedError(
+                    "only zero-bit (single symbol) HUFFMAN supported")
+        elif codec == E_BYTE_ARRAY_STOP:
+            self.stop = p.read(1)[0]
+            self.buf = io.BytesIO(ext_blocks.get(read_itf8(p), b""))
+        elif codec == E_BYTE_ARRAY_LEN:
+            lc, lp = _parse_encoding(p)
+            vc, vp = _parse_encoding(p)
+            self.len_dec = _Decoder(lc, lp, ext_blocks, core)
+            self.val_dec = _Decoder(vc, vp, ext_blocks, core)
+        else:
+            raise NotImplementedError(f"CRAM encoding codec {codec}")
+
+    def read_int(self) -> int:
+        if self.codec == E_EXTERNAL:
+            return read_itf8(self.buf)
+        if self.codec == E_HUFFMAN:
+            return self.symbols[0]
+        raise NotImplementedError
+
+    def read_byte(self) -> int:
+        if self.codec == E_EXTERNAL:
+            return self.buf.read(1)[0]
+        if self.codec == E_HUFFMAN:
+            return self.symbols[0]
+        raise NotImplementedError
+
+    def read_bytes(self, n: int | None = None) -> bytes:
+        if self.codec == E_BYTE_ARRAY_STOP:
+            out = bytearray()
+            while True:
+                b = self.buf.read(1)
+                if not b or b[0] == self.stop:
+                    break
+                out.append(b[0])
+            return bytes(out)
+        if self.codec == E_BYTE_ARRAY_LEN:
+            ln = self.len_dec.read_int()
+            return bytes(self.val_dec.read_byte() for _ in range(ln))
+        if self.codec == E_EXTERNAL:
+            return self.buf.read(n)
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CramRecord:
+    name: str
+    flag: int
+    ref_id: int
+    pos: int  # 1-based leftmost, 0 when unmapped/unplaced
+    mapq: int
+    seq: str
+    qual: str
+
+
+def _s32(v: int) -> int:
+    """itf8 values are unsigned on the wire; ref ids are signed i32."""
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _read_container_header(f):
+    hdr = f.read(4)
+    if len(hdr) < 4:
+        return None
+    (length,) = struct.unpack("<i", hdr)
+    rest = io.BytesIO(f.read(1024))
+    ref_id = _s32(read_itf8(rest))
+    start = read_itf8(rest)
+    span = read_itf8(rest)
+    n_rec = read_itf8(rest)
+    counter = read_ltf8(rest)
+    bases = read_ltf8(rest)
+    n_blocks = read_itf8(rest)
+    n_land = read_itf8(rest)
+    for _ in range(n_land):
+        read_itf8(rest)
+    rest.read(4)  # container CRC
+    consumed = rest.tell()
+    f.seek(-(1024 - consumed), 1)
+    return dict(length=length, ref_id=ref_id, start=start, span=span,
+                n_rec=n_rec, counter=counter, bases=bases, n_blocks=n_blocks)
+
+
+def read_cram(path: str, contigs: dict[str, np.ndarray]):
+    """Yield (ref_names, iterator of CramRecord) like bam.read_bam."""
+    f = open(path, "rb")
+    magic = f.read(6)
+    if magic != CRAM_MAGIC:
+        raise ValueError(f"{path}: not a CRAM 3.0 file")
+    f.read(20)  # file id
+    hdr = _read_container_header(f)
+    payload = io.BytesIO(f.read(hdr["length"]))
+    ctype, _, sam_header = _read_block(payload)
+    if sam_header[:4].isdigit() or True:
+        # htslib may pad/prefix the SAM header with its length (i32)
+        if len(sam_header) >= 4:
+            (hl,) = struct.unpack("<i", sam_header[:4])
+            if 0 <= hl <= len(sam_header) - 4:
+                sam_header = sam_header[4 : 4 + hl]
+    ref_names = []
+    for line in sam_header.decode(errors="replace").splitlines():
+        if line.startswith("@SQ"):
+            for fld in line.split("\t"):
+                if fld.startswith("SN:"):
+                    ref_names.append(fld[3:])
+
+    def records():
+        while True:
+            chdr = _read_container_header(f)
+            if chdr is None or (chdr["ref_id"] == -1 and chdr["n_rec"] == 0):
+                break  # EOF container
+            payload = io.BytesIO(f.read(chdr["length"]))
+            if chdr["n_rec"] == 0:
+                continue
+            yield from _decode_container(payload, chdr, ref_names, contigs)
+        f.close()
+
+    return ref_names, records()
+
+
+def _decode_container(payload, chdr, ref_names, contigs):
+    ctype, _, comp = _read_block(payload)
+    assert ctype == CT_COMPRESSION_HEADER, ctype
+    pres, enc_map = _parse_compression_header(comp)
+    while payload.tell() < len(payload.getbuffer()):
+        ctype, _, sl = _read_block(payload)
+        if ctype != CT_SLICE_HEADER:
+            break
+        s = io.BytesIO(sl)
+        s_ref = _s32(read_itf8(s))
+        s_start = read_itf8(s)
+        read_itf8(s)  # span
+        s_nrec = read_itf8(s)
+        read_ltf8(s)  # counter
+        s_nblocks = read_itf8(s)
+        ids = [read_itf8(s) for _ in range(read_itf8(s))]
+        read_itf8(s)  # embedded ref block id
+        s.read(16)  # md5
+        core = b""
+        ext = {}
+        for _ in range(s_nblocks):
+            bt, bid, data = _read_block(payload)
+            if bt == CT_EXTERNAL:
+                ext[bid] = data
+            else:
+                core = data
+        yield from _decode_slice(pres, enc_map, ext, core, s_ref, s_start,
+                                 s_nrec, ref_names, contigs)
+
+
+def _parse_compression_header(data: bytes):
+    buf = io.BytesIO(data)
+    pres = {"RN": True, "AP": True, "RR": True,
+            "SM": b"\x1b\x1b\x1b\x1b\x1b", "TD": [b""]}
+    n = read_itf8(buf)  # preservation map byte size
+    sub = io.BytesIO(buf.read(n))
+    for _ in range(read_itf8(sub)):
+        key = sub.read(2).decode()
+        if key in ("RN", "AP", "RR"):
+            pres[key] = bool(sub.read(1)[0])
+        elif key == "SM":
+            pres["SM"] = sub.read(5)
+        elif key == "TD":
+            ln = read_itf8(sub)
+            pres["TD"] = sub.read(ln).split(b"\x00")
+        else:
+            raise NotImplementedError(f"preservation key {key}")
+    enc_map = {}
+    n = read_itf8(buf)  # encoding map byte size
+    sub = io.BytesIO(buf.read(n))
+    for _ in range(read_itf8(sub)):
+        key = sub.read(2).decode()
+        enc_map[key] = _parse_encoding(sub)
+    # tag encoding map: parse + skip
+    n = read_itf8(buf)
+    sub = io.BytesIO(buf.read(n))
+    tag_enc = {}
+    for _ in range(read_itf8(sub)):
+        key = read_itf8(sub)
+        tag_enc[key] = _parse_encoding(sub)
+    pres["_tags"] = tag_enc
+    return pres, enc_map
+
+
+def _decode_slice(pres, enc_map, ext, core, s_ref, s_start, s_nrec,
+                  ref_names, contigs):
+    dec = {}
+    for key, (codec, params) in enc_map.items():
+        try:
+            dec[key] = _Decoder(codec, params, ext, core)
+        except NotImplementedError:
+            dec[key] = None
+    tag_dec = {k: _Decoder(c, p, ext, core)
+               for k, (c, p) in pres["_tags"].items()}
+
+    def iread(key, default=0):
+        d = dec.get(key)
+        return d.read_int() if d else default
+
+    sm = pres["SM"]
+    sub_table = {}
+    for ri, rb in enumerate(_SUB_BASES):
+        byte = sm[ri]
+        alts = [b for b in _SUB_BASES if b != rb]
+        # 2-bit code per alternate packed high-to-low
+        for j, alt in enumerate(alts):
+            code = (byte >> (6 - 2 * j)) & 3
+            sub_table[(rb, code)] = alt
+
+    last_pos = s_start
+    for _ in range(s_nrec):
+        bf = iread("BF")
+        cf = iread("CF")
+        rid = iread("RI", s_ref) if s_ref == -2 else s_ref
+        rl = iread("RL")
+        ap = iread("AP")
+        if pres["AP"]:
+            last_pos += ap
+            pos = last_pos
+        else:
+            pos = ap
+        iread("RG")
+        name = ""
+        if pres["RN"] and dec.get("RN"):
+            name = dec["RN"].read_bytes().decode()
+        if cf & 2:  # detached mate
+            iread("MF")
+            if not pres["RN"] or not dec.get("RN"):
+                pass
+            iread("NS")
+            iread("NP")
+            iread("TS")
+        elif cf & 4:
+            iread("NF")
+        tl = iread("TL")
+        for key in pres["TD"][tl].decode().split() if False else ():
+            pass
+        td_line = pres["TD"][tl] if tl < len(pres["TD"]) else b""
+        for t in range(0, len(td_line), 3):
+            tid = (td_line[t] << 16) | (td_line[t + 1] << 8) | td_line[t + 2]
+            tag_dec[tid].read_bytes()
+        seq = qual = ""
+        if not (bf & 0x4):
+            fn = iread("FN")
+            feats = []
+            fpos = 0
+            for _ in range(fn):
+                fc = chr(dec["FC"].read_byte())
+                fpos += iread("FP")
+                if fc == "B":
+                    feats.append((fpos, "B", dec["BA"].read_byte(),
+                                  dec["QS"].read_byte()))
+                elif fc == "X":
+                    feats.append((fpos, "X", iread("BS")))
+                elif fc == "S":
+                    feats.append((fpos, "S", dec["SC"].read_bytes()))
+                elif fc == "I":
+                    feats.append((fpos, "I", dec["IN"].read_bytes()))
+                elif fc == "i":
+                    feats.append((fpos, "I", bytes([dec["BA"].read_byte()])))
+                elif fc == "D":
+                    feats.append((fpos, "D", iread("DL")))
+                elif fc == "N":
+                    feats.append((fpos, "D", iread("RS")))
+                elif fc == "H":
+                    iread("HC")
+                elif fc == "P":
+                    iread("PD")
+                elif fc == "Q":
+                    dec["QS"].read_byte()
+                else:
+                    raise NotImplementedError(f"feature code {fc}")
+            mq = iread("MQ")
+            seq = _rebuild_seq(rl, pos, feats, ref_names, contigs, rid,
+                              sub_table)
+        else:
+            mq = 0
+            ba = dec.get("BA")
+            seq = ba.read_bytes(rl).decode() if ba else "N" * rl
+            fn = 0
+        if cf & 1:  # quality scores stored
+            q = dec["QS"].read_bytes(rl)
+            qual = "".join(chr(c + 33) for c in q)
+        else:
+            qual = "I" * rl
+        yield CramRecord(name, bf, rid, pos, mq, seq, qual)
+
+
+def _rebuild_seq(rl, pos, feats, ref_names, contigs, rid, sub_table):
+    ref = contigs.get(ref_names[rid]) if 0 <= rid < len(ref_names) else None
+    out = []
+    rpos = pos - 1  # 0-based ref cursor
+    qpos = 1        # 1-based query cursor
+
+    def take_ref(n):
+        nonlocal rpos
+        if ref is None:
+            s = "N" * n
+        else:
+            s = ref[rpos : rpos + n].tobytes().decode()
+        rpos += n
+        return s
+
+    for feat in sorted(feats, key=lambda x: x[0]):
+        fpos = feat[0]
+        gap = fpos - qpos
+        if gap > 0:
+            out.append(take_ref(gap))
+            qpos += gap
+        kind = feat[1]
+        if kind == "X":
+            rb = take_ref(1).upper()
+            out.append(sub_table.get((rb if rb in _SUB_BASES else "N",
+                                      feat[2]), "N"))
+            qpos += 1
+        elif kind == "S":
+            s = feat[2].decode()
+            out.append(s)
+            qpos += len(s)
+        elif kind == "I":
+            s = feat[2].decode()
+            out.append(s)
+            qpos += len(s)
+        elif kind == "D":
+            rpos += feat[2]
+        elif kind == "B":
+            take_ref(1)
+            out.append(chr(feat[2]))
+            qpos += 1
+    tail = rl - (qpos - 1)
+    if tail > 0:
+        out.append(take_ref(tail))
+    return "".join(out)[:rl]
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _encode_ext(content_id: int) -> bytes:
+    p = write_itf8(content_id)
+    return write_itf8(E_EXTERNAL) + write_itf8(len(p)) + p
+
+
+def _encode_stop(stop: int, content_id: int) -> bytes:
+    p = bytes([stop]) + write_itf8(content_id)
+    return write_itf8(E_BYTE_ARRAY_STOP) + write_itf8(len(p)) + p
+
+
+def _encode_bal(len_cid: int, val_cid: int) -> bytes:
+    inner_len = _encode_ext(len_cid)
+    inner_val = _encode_ext(val_cid)
+    p = inner_len + inner_val
+    return write_itf8(E_BYTE_ARRAY_LEN) + write_itf8(len(p)) + p
+
+
+_WSM = bytes([0x1B] * 5)  # identity-ish substitution matrix (codes 00 01 10 11)
+
+
+def _sub_code(ref_base: str, alt: str) -> int:
+    alts = [b for b in _SUB_BASES if b != ref_base]
+    j = alts.index(alt if alt in alts else alts[-1])
+    return (_WSM[_SUB_BASES.index(ref_base)] >> (6 - 2 * j)) & 3
+
+
+def write_cram(path: str, ref_names: list[str],
+               contigs: dict[str, np.ndarray], records):
+    """records: iterable of CramRecord-likes (name, flag, ref_id, pos,
+    mapq, seq, qual) with cigar-free semantics: mapped reads are stored
+    as full-length matches + substitution features vs the reference
+    (soft structure like clips comes through as mismatch runs), unmapped
+    reads verbatim. One slice per container."""
+    recs = list(records)
+    out = open(path, "wb")
+    out.write(CRAM_MAGIC)
+    out.write(b"rufus_tpu_cram_0001\x00")
+    # headers may name contigs absent from the loaded reference (e.g. a
+    # slice reference vs a full BAM header): LN 0 and verbatim bases then
+    sam = "@HD\tVN:1.6\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{len(contigs[n]) if n in contigs else 0}\n"
+        for n in ref_names)
+    _write_file_header_container(out, sam.encode())
+    for c0 in range(0, len(recs), 4096):
+        _write_data_container(out, ref_names, contigs, recs[c0 : c0 + 4096])
+    # EOF container (spec-fixed content: empty compression header)
+    _write_eof(out)
+    out.close()
+
+
+def _container(out, blocks_payload: bytes, ref_id, start, span, n_rec,
+               n_blocks, landmarks=(0,)):
+    hdr = (write_itf8(ref_id & 0xFFFFFFFF) + write_itf8(start)
+           + write_itf8(span) + write_itf8(n_rec) + write_ltf8(0)
+           + write_ltf8(0) + write_itf8(n_blocks)
+           + write_itf8(len(landmarks)))
+    for l in landmarks:
+        hdr += write_itf8(l)
+    hdr += struct.pack("<I", zlib.crc32(hdr) & 0xFFFFFFFF)
+    out.write(struct.pack("<i", len(blocks_payload)))
+    out.write(hdr)
+    out.write(blocks_payload)
+
+
+def _write_file_header_container(out, sam: bytes):
+    body = struct.pack("<i", len(sam)) + sam
+    buf = io.BytesIO()
+    _write_block(buf, CT_FILE_HEADER, 0, body, gz=False)
+    _container(out, buf.getvalue(), 0, 0, 0, 0, 1)
+
+
+def _write_eof(out):
+    buf = io.BytesIO()
+    _write_block(buf, CT_COMPRESSION_HEADER, 0,
+                 write_itf8(1) + write_itf8(0)  # empty pres map
+                 + write_itf8(1) + write_itf8(0)
+                 + write_itf8(1) + write_itf8(0), gz=False)
+    _container(out, buf.getvalue(), -1, 4542278, 0, 0, 1)
+
+
+_SERIES_IDS = {"BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6,
+               "RN": 7, "MF": 8, "NS": 9, "NP": 10, "TS": 11, "NF": 12,
+               "TL": 13, "FN": 14, "FC": 15, "FP": 16, "BS": 17,
+               "IN": 18, "SC": 19, "DL": 20, "BA": 21, "QS": 22, "MQ": 23}
+
+
+def _write_data_container(out, ref_names, contigs, recs):
+    streams = {k: bytearray() for k in _SERIES_IDS}
+    s_ref = recs[0].ref_id if recs else 0
+    multi = any(r.ref_id != s_ref for r in recs)
+    if multi:
+        s_ref = -2
+    mapped_pos = [r.pos for r in recs if not (r.flag & 0x4) and r.pos > 0]
+    s_start = min(mapped_pos) if mapped_pos and s_ref >= 0 else 0
+    s_span = (max(mapped_pos) - s_start + 1) if mapped_pos and s_ref >= 0 else 0
+
+    for r in recs:
+        streams["BF"] += write_itf8(r.flag)
+        streams["CF"] += write_itf8(3)  # quals stored | detached mate
+        if s_ref == -2:
+            streams["RI"] += write_itf8(r.ref_id & 0xFFFFFFFF)
+        rl = len(r.seq)
+        streams["RL"] += write_itf8(rl)
+        streams["AP"] += write_itf8(r.pos)  # AP-delta OFF (pres map)
+        streams["RG"] += write_itf8(0xFFFFFFFF)
+        streams["RN"] += r.name.encode() + b"\t"
+        streams["MF"] += write_itf8(0)
+        streams["NS"] += write_itf8(0xFFFFFFFF)
+        streams["NP"] += write_itf8(0)
+        streams["TS"] += write_itf8(0)
+        streams["TL"] += write_itf8(0)
+        if not (r.flag & 0x4):
+            ref = contigs.get(ref_names[r.ref_id])
+            seg = ("" if ref is None
+                   else ref[r.pos - 1 : r.pos - 1 + rl].tobytes().decode())
+            feats = []
+            for i, (qb, rb) in enumerate(zip(r.seq, seg.ljust(rl, "N"))):
+                qb, rb = qb.upper(), rb.upper()
+                if qb != rb:
+                    feats.append((i + 1, rb if rb in _SUB_BASES else "N", qb))
+            streams["FN"] += write_itf8(len(feats))
+            last = 0
+            for fpos, rb, qb in feats:
+                if qb in _SUB_BASES and rb in _SUB_BASES and qb != "N":
+                    streams["FC"] += b"X"
+                    streams["FP"] += write_itf8(fpos - last)
+                    streams["BS"] += write_itf8(_sub_code(rb, qb))
+                else:
+                    streams["FC"] += b"B"
+                    streams["FP"] += write_itf8(fpos - last)
+                    streams["BA"] += qb.encode()
+                    streams["QS"] += bytes([ord(r.qual[fpos - 1]) - 33])
+                last = fpos
+            streams["MQ"] += write_itf8(r.mapq)
+        else:
+            streams["BA"] += r.seq.encode()
+        streams["QS"] += bytes(ord(c) - 33 for c in r.qual)
+
+    # compression header
+    pres = bytearray()
+    entries = [(b"RN", b"\x01"), (b"AP", b"\x00"), (b"RR", b"\x01"),
+               (b"SM", _WSM), (b"TD", write_itf8(1) + b"\x00")]
+    pm = write_itf8(len(entries)) + b"".join(k + v for k, v in entries)
+    pres += write_itf8(len(pm)) + pm
+    encs = []
+    for key, cid in _SERIES_IDS.items():
+        if key == "RN":
+            encs.append((key.encode(), _encode_stop(ord("\t"), cid)))
+        elif key in ("IN", "SC"):
+            encs.append((key.encode(), _encode_stop(0, cid)))
+        elif key in ("BA", "QS", "FC"):
+            encs.append((key.encode(), _encode_ext(cid)))
+        else:
+            encs.append((key.encode(), _encode_ext(cid)))
+    em = write_itf8(len(encs)) + b"".join(k + v for k, v in encs)
+    pres += write_itf8(len(em)) + em
+    tm = write_itf8(0)
+    pres += write_itf8(len(tm)) + tm
+
+    buf = io.BytesIO()
+    _write_block(buf, CT_COMPRESSION_HEADER, 0, bytes(pres), gz=False)
+    # slice header
+    used = [cid for key, cid in _SERIES_IDS.items() if streams[key]]
+    sl = (write_itf8(s_ref & 0xFFFFFFFF) + write_itf8(s_start)
+          + write_itf8(s_span) + write_itf8(len(recs)) + write_ltf8(0)
+          + write_itf8(1 + len(used)) + write_itf8(len(used)))
+    for cid in used:
+        sl += write_itf8(cid)
+    sl += write_itf8(0xFFFFFFFF)  # no embedded reference
+    sl += b"\x00" * 16
+    _write_block(buf, CT_SLICE_HEADER, 0, sl, gz=False)
+    _write_block(buf, 5, 0, b"", gz=False)  # empty core block
+    for key, cid in _SERIES_IDS.items():
+        if streams[key]:
+            _write_block(buf, CT_EXTERNAL, cid, bytes(streams[key]), gz=True)
+    _container(out, buf.getvalue(), s_ref, s_start, s_span, len(recs),
+               3 + len(used))
+
+
+# ---------------------------------------------------------------------------
+# pipeline adapters (mirror io/bam.py)
+# ---------------------------------------------------------------------------
+
+
+def cram_records(path: str, contigs: dict[str, np.ndarray]):
+    return read_cram(path, contigs)
+
+
+def cram_to_fastq(path: str, contigs, exclude_flags: int | None = None,
+                  progress_path: str | None = None):
+    """Unpaired pass-through: CRAM -> (name, seq, qual), the
+    bam.bam_to_fastq contract (samtools view -F 3328 | PassThroughSamCheck
+    role) for .cram generators (runRufus.sh:218-240)."""
+    from . import bam
+
+    if exclude_flags is None:
+        exclude_flags = bam.DEFAULT_EXCLUDE
+    names, records = read_cram(path, contigs)
+    if progress_path:
+        records = bam._progress_records(
+            records, [(n, 0) for n in names], progress_path)
+    for r in records:
+        if r.flag & exclude_flags:
+            continue
+        yield r.name, r.seq, r.qual
+
+
+def cram_to_paired_fastq(path: str, contigs, exclude_flags: int | None = None,
+                         progress_path: str | None = None):
+    """Stranded pair-matching pass-through (PassThroughSamCheck.stranded
+    role) for CRAM input."""
+    from . import bam
+
+    if exclude_flags is None:
+        exclude_flags = bam.DEFAULT_EXCLUDE
+    names, records = read_cram(path, contigs)
+    if progress_path:
+        records = bam._progress_records(
+            records, [(n, 0) for n in names], progress_path)
+    pending: dict[str, tuple[str, str]] = {}
+    for r in records:
+        if r.flag & exclude_flags:
+            continue
+        seq, qual = r.seq, r.qual
+        if r.flag & 0x10:
+            seq = bam.revcomp_bytes(seq.encode()).decode()
+            qual = qual[::-1]
+        if r.name in pending:
+            m2s, m2q = pending.pop(r.name)
+            yield r.name, seq, qual, m2s, m2q
+        else:
+            pending[r.name] = (seq, qual)
+
+
+def cram_to_single_fastq(path: str, contigs, exclude_flags: int | None = None,
+                         progress_path: str | None = None):
+    """Single-end stranded pass-through for CRAM input."""
+    from . import bam
+
+    if exclude_flags is None:
+        exclude_flags = bam.DEFAULT_EXCLUDE
+    names, records = read_cram(path, contigs)
+    if progress_path:
+        records = bam._progress_records(
+            records, [(n, 0) for n in names], progress_path)
+    for r in records:
+        if r.flag & exclude_flags:
+            continue
+        seq, qual = r.seq, r.qual
+        if r.flag & 0x10:
+            seq = bam.revcomp_bytes(seq.encode()).decode()
+            qual = qual[::-1]
+        yield r.name, seq, qual

@@ -94,6 +94,14 @@ class RufusPipeline:
             if part.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
                 for _, s, _ in fastq.read_fastq(part):
                     yield s
+            elif part.endswith(".cram"):
+                from ..io import cram
+
+                for _, s, _ in cram.cram_to_fastq(
+                        part, self.ref_contigs(),
+                        progress_path=progress_path):
+                    yield s
+                progress_path = None
             else:
                 for _, s, _ in bam.bam_to_fastq(part,
                                                 progress_path=progress_path):
@@ -110,7 +118,7 @@ class RufusPipeline:
         fastq paths log the completion sentinel only."""
         cfg = self.cfg
         is_fastq = path.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz"))
-        use_native = not is_fastq
+        use_native = not is_fastq and not path.endswith(".cram")
         if use_native:
             try:
                 from ..io import native
@@ -424,7 +432,14 @@ class RufusPipeline:
                     kept += 1
                 buf.clear()
 
-            for rec in bam.bam_to_single_fastq(cfg.subject):
+            if cfg.subject.endswith(".cram"):
+                from ..io import cram
+
+                se_stream = cram.cram_to_single_fastq(cfg.subject,
+                                                      self.ref_contigs())
+            else:
+                se_stream = bam.bam_to_single_fastq(cfg.subject)
+            for rec in se_stream:
                 buf.append(rec)
                 if len(buf) >= cfg.batch_size:
                     flush()
@@ -451,6 +466,11 @@ class RufusPipeline:
         progress = cfg.wpath(cfg.subject_stub + ".filter.chr")
         if cfg.fastq_a:
             pair_stream = self._fastq_pair_stream(cfg.fastq_a, cfg.fastq_b)
+        elif cfg.subject.endswith(".cram"):
+            from ..io import cram
+
+            pair_stream = cram.cram_to_paired_fastq(
+                cfg.subject, self.ref_contigs(), progress_path=progress)
         else:
             # <gen>.filter.chr progress file (runRufus.sh:966)
             pair_stream = bam.bam_to_paired_fastq(cfg.subject,

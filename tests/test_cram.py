@@ -1,0 +1,115 @@
+"""CRAM 3.0 reader/writer (io/cram.py): structure, round-trip, and
+BAM-parity on the testRun trio.
+
+No CRAM tooling exists in this environment (htslib is fetched at the
+reference's build time; no network), so the differential is: decode a
+CRAM written by our spec-writer from the Child BAM's records and demand
+byte equality of name/flag/seq/qual per record plus identical k-mer
+count tables — proving the CRAM input modality feeds the pipeline the
+exact same data as the BAM path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rufus_tpu.io import cram
+
+TESTRUN = "/root/reference/testRun"
+REF = "/root/reference/resources/references/small_test_human_reference_v37_decoys.fa"
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(os.path.join(TESTRUN, "Child.bam")),
+    reason="testRun data absent")
+
+
+def test_varint_roundtrip():
+    import io as _io
+
+    for v in (0, 1, 127, 128, 300, 16383, 16384, 2**21 - 1, 2**28 - 1,
+              2**28, 2**32 - 1):
+        assert cram.read_itf8(_io.BytesIO(cram.write_itf8(v))) == v
+    for v in (0, 127, 128, 2**14, 2**21, 2**35, 2**56 - 1, 2**60):
+        assert cram.read_ltf8(_io.BytesIO(cram.write_ltf8(v))) == v
+
+
+def _toy_contigs():
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    return {"c1": rng.choice(bases, 5000).astype(np.uint8),
+            "c2": rng.choice(bases, 3000).astype(np.uint8)}
+
+
+def test_roundtrip_mapped_unmapped(tmp_path):
+    contigs = _toy_contigs()
+    names = list(contigs)
+    rng = np.random.default_rng(6)
+    recs = []
+    for i in range(40):
+        rid = i % 2
+        pos = int(rng.integers(1, len(contigs[names[rid]]) - 160))
+        seq = contigs[names[rid]][pos - 1 : pos - 1 + 100].tobytes().decode()
+        if i % 3 == 0:  # substitutions
+            j = int(rng.integers(0, 100))
+            seq = seq[:j] + "ACGT"[("ACGT".index(seq[j]) + 1) % 4] + seq[j + 1:]
+        if i % 7 == 0:  # an N (forces the verbatim-base feature)
+            seq = seq[:50] + "N" + seq[51:]
+        qual = "".join(chr(33 + int(rng.integers(2, 40))) for _ in range(100))
+        flag = 99 if i % 2 == 0 else 147
+        if i % 11 == 0:
+            flag, pos = 77, 0  # unmapped, unplaced
+        recs.append(cram.CramRecord(f"read{i}", flag, rid if flag != 77 else -1,
+                                    pos, 60, seq, qual))
+    path = str(tmp_path / "toy.cram")
+    cram.write_cram(path, names, contigs, recs)
+    got_names, it = cram.read_cram(path, contigs)
+    got = list(it)
+    assert got_names == names
+    assert len(got) == len(recs)
+    for a, b in zip(recs, got):
+        assert (a.name, a.flag, a.seq, a.qual) == (b.name, b.flag, b.seq, b.qual)
+        if not (a.flag & 0x4):
+            assert (a.ref_id, a.pos, a.mapq) == (b.ref_id, b.pos, b.mapq)
+
+
+@needs_data
+def test_cram_matches_bam_on_trio_child(tmp_path):
+    from rufus_tpu.io import bam, bwaindex
+
+    contigs = bwaindex.load_pac_reference(REF)
+    refs, records = bam.read_bam(os.path.join(TESTRUN, "Child.bam"))
+    names = [r[0] for r in refs]
+    bam_recs = [(r.name, r.flag, r.ref_id, r.pos + 1, r.mapq, r.seq, r.qual)
+                for r in records]
+    path = str(tmp_path / "Child.cram")
+    cram.write_cram(path, names, contigs,
+                    [cram.CramRecord(*r) for r in bam_recs])
+    got_names, it = cram.read_cram(path, contigs)
+    got = list(it)
+    assert len(got) == len(bam_recs)
+    for (n, f, ri, p, mq, s, q), g in zip(bam_recs, got):
+        assert n == g.name and f == g.flag
+        assert s == g.seq, (n, s[:40], g.seq[:40])
+        assert q == g.qual
+
+    # identical k-mer count tables through either modality
+    import jax.numpy as jnp
+
+    from rufus_tpu.ops import count
+
+    def table(seqs):
+        from rufus_tpu.io import fastq
+
+        chunks = []
+        for i in range(0, len(seqs), 512):
+            r, _, _ = fastq.batch_reads(seqs[i : i + 512], pad_to=160)
+            chunks.append(count.count_reads_batch(jnp.asarray(r), 25))
+        return count.KmerTable.from_rle_chunks(25, chunks)
+
+    bam_seqs = [s for _, s, _ in bam.bam_to_fastq(
+        os.path.join(TESTRUN, "Child.bam"))]
+    cram_seqs = [s for _, s, _ in cram.cram_to_fastq(path, contigs)]
+    assert bam_seqs == cram_seqs
+    tb, tc = table(bam_seqs), table(cram_seqs)
+    np.testing.assert_array_equal(tb.keys, tc.keys)
+    np.testing.assert_array_equal(tb.counts, tc.counts)
