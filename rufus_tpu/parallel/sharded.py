@@ -1,8 +1,9 @@
-"""Mesh-sharded k-mer pipeline: device-resident prefix-sharded tables.
+"""Mesh-sharded k-mer pipeline: device-resident hash-sharded tables.
 
 Design (scaling-book style): one 1-D mesh over all chips. Reads are
 data-sharded on the batch axis; each sample's count table is sharded by
-k-mer PREFIX (top log2(n) bits of the canonical k-mer = owner shard), so
+a HASH of the canonical k-mer (multiplicative mixer -> owner shard;
+uniform for any genome composition, unlike top-bit partitioning), so
 after one all_to_all per batch, *everything downstream is collective-free*:
 
   count:    local window+canonicalize -> bucket-by-owner -> all_to_all
@@ -572,7 +573,7 @@ class ShardedKmerTable:
     materialized."""
 
     def __init__(self, mesh, k: int, capacity: int,
-                 pending_budget: int = 48 << 20):
+                 pending_budget: int = 96 << 20):
         self.mesh = mesh
         self.k = k
         self.capacity = capacity
