@@ -112,12 +112,23 @@ def main():
         n = r["devices"]
         r["count_scaling_eff"] = round(r["count_reads_per_s"] / (base_c * n), 3)
         r["filter_scaling_eff"] = round(r["filter_reads_per_s"] / (base_f * n), 3)
+    ncpu = multiprocessing.cpu_count()
+    for r in results:
+        # with n virtual devices on ncpu cores and constant per-device
+        # work, the compute-bound weak-scaling ceiling is ncpu/n
+        ceil = min(1.0, ncpu / r["devices"])
+        r["host_bound_ceiling"] = round(ceil, 3)
+        r["count_eff_vs_host_ceiling"] = round(
+            r["count_scaling_eff"] / ceil, 3)
     out = {
         "mode": "weak scaling, fixed per-device batch (2048 reads x 160bp)",
-        "host_physical_cores": multiprocessing.cpu_count(),
-        "caveat": "virtual CPU devices oversubscribe the host cores; "
-                  "efficiency here bounds collective+dispatch overhead, "
-                  "not ICI bandwidth",
+        "host_physical_cores": ncpu,
+        "caveat": "virtual CPU devices oversubscribe the host cores: with "
+                  "constant per-device work the wall-clock ceiling is "
+                  "ncpu/n, so compare count_eff_vs_host_ceiling (collective "
+                  "+ dispatch overhead), not raw efficiency, against the "
+                  ">=80% ICI target; exchanged_bytes per device is constant "
+                  "in n (the O(batch) routing model, checkable above)",
         "results": results,
     }
     print(json.dumps(out, indent=1))
