@@ -168,23 +168,6 @@ def _read_block(buf: io.BytesIO):
 # ---------------------------------------------------------------------------
 
 
-class _Bits:
-    """MSB-first bit reader over the core block."""
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-
-    def take(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            bit = (byte >> (7 - (self.pos & 7))) & 1
-            v = (v << 1) | bit
-            self.pos += 1
-        return v
-
-
 def _parse_encoding(buf: io.BytesIO):
     codec = read_itf8(buf)
     n = read_itf8(buf)
