@@ -23,6 +23,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -45,6 +46,9 @@ struct BamFile {
   std::vector<uint8_t> arena;      // names + decoded seq + qual
   std::vector<std::string> refs;
   size_t cursor = 0;               // batch iteration state
+  // pair-stream state (PassThroughSamCheck.stranded role)
+  size_t pair_cursor = 0;
+  std::unordered_map<std::string, uint32_t> pending;
 };
 
 const char SEQ_CODES[17] = "=ACMGRSVTWYHKDBN";
@@ -215,7 +219,86 @@ long bam_read_batch(void* h, int exclude_flags, uint8_t* seq, uint8_t* qual,
   return written;
 }
 
-void bam_reset(void* h) { ((BamFile*)h)->cursor = 0; }
+void bam_reset(void* h) {
+  BamFile* bf = (BamFile*)h;
+  bf->cursor = 0;
+  bf->pair_cursor = 0;
+  bf->pending.clear();
+}
+
+// Paired pass-through batch (PassThroughSamCheck.stranded.cpp:192-279
+// role): pairs matched by a name hashmap; flag-0x10 records are
+// reverse-complemented back to sequencing orientation with reversed
+// quals; the SECOND record seen for a name becomes mate1, the stashed
+// first mate2 — identical semantics to io/bam.py::bam_to_paired_fastq,
+// whose kept-read-name parity the filter tests pin. Names are packed as
+// '\n'-joined bytes in name_buf (name_lens gives each length).
+// Returns pairs written; unpaired leftovers stay pending.
+long bam_read_pair_batch(void* h, int exclude_flags,
+                         uint8_t* seq1, uint8_t* qual1, int32_t* len1,
+                         uint8_t* seq2, uint8_t* qual2, int32_t* len2,
+                         uint8_t* name_buf, long name_cap,
+                         int32_t* name_lens,
+                         long capacity, long pad_len) {
+  BamFile* bf = (BamFile*)h;
+  long written = 0;
+  long name_off = 0;
+  auto emit = [&](const BamRecordView& r, uint8_t* seq, uint8_t* qual,
+                  int32_t* lens) {
+    long n = r.seq_len < (uint32_t)pad_len ? r.seq_len : pad_len;
+    const uint8_t* s = bf->arena.data() + r.seq_off;
+    const uint8_t* q = bf->arena.data() + r.qual_off;
+    uint8_t* so = seq + written * pad_len;
+    uint8_t* qo = qual + written * pad_len;
+    if (r.flag & 0x10) {
+      for (long i = 0; i < n; i++) {
+        uint8_t b = s[r.seq_len - 1 - i];
+        uint8_t c;
+        switch (b) {
+          case 'A': c = 'T'; break;
+          case 'C': c = 'G'; break;
+          case 'G': c = 'C'; break;
+          case 'T': c = 'A'; break;
+          case 'a': c = 't'; break;
+          case 'c': c = 'g'; break;
+          case 'g': c = 'c'; break;
+          case 't': c = 'a'; break;
+          default: c = b;
+        }
+        so[i] = c;
+        qo[i] = q[r.seq_len - 1 - i];
+      }
+    } else {
+      memcpy(so, s, (size_t)n);
+      memcpy(qo, q, (size_t)n);
+    }
+    lens[written] = (int32_t)n;
+  };
+  while (written < capacity && bf->pair_cursor < bf->recs.size()) {
+    uint32_t idx = (uint32_t)bf->pair_cursor++;
+    const BamRecordView& r = bf->recs[idx];
+    if (r.flag & exclude_flags) continue;
+    std::string name((const char*)bf->arena.data() + r.name_off, r.name_len);
+    auto it = bf->pending.find(name);
+    if (it == bf->pending.end()) {
+      bf->pending.emplace(std::move(name), idx);
+      continue;
+    }
+    if (name_off + (long)r.name_len > name_cap) {
+      bf->pair_cursor--;  // retry this record next call; mate stays pending
+      break;
+    }
+    const BamRecordView& first = bf->recs[it->second];
+    bf->pending.erase(it);
+    memcpy(name_buf + name_off, bf->arena.data() + r.name_off, r.name_len);
+    name_lens[written] = (int32_t)r.name_len;
+    name_off += r.name_len;
+    emit(r, seq1, qual1, len1);       // second seen -> mate1
+    emit(first, seq2, qual2, len2);   // stashed first -> mate2
+    written++;
+  }
+  return written;
+}
 
 // Random access to record metadata for the Python record API.
 void bam_record_info(void* h, long i, int32_t* ref_id, int32_t* pos,

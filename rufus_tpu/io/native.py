@@ -46,6 +46,20 @@ def _load():
     ]
     lib.bam_reset.argtypes = [ctypes.c_void_p]
     lib.bam_close.argtypes = [ctypes.c_void_p]
+    try:
+        lib.bam_read_pair_batch.restype = ctypes.c_long
+        lib.bam_read_pair_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_long, ctypes.c_long,
+        ]
+    except AttributeError:  # older .so without the pair API
+        lib.bam_read_pair_batch = None
     _lib = lib
     return lib
 
@@ -82,6 +96,37 @@ class NativeBam:
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             capacity, pad_len)
         return seq[:n], qual[:n], lens[:n]
+
+    def read_pair_batch(self, capacity: int, pad_len: int,
+                        exclude_flags: int = 0xD00):
+        """Paired pass-through batch (PassThroughSamCheck.stranded role,
+        same pairing/strand semantics as io.bam.bam_to_paired_fastq) ->
+        (names list[str], s1, q1, l1, s2, q2, l2) numpy arrays."""
+        if getattr(self._lib, "bam_read_pair_batch", None) is None:
+            raise RuntimeError("native pair API unavailable")
+        mk = lambda: np.full((capacity, pad_len), ord("N"), np.uint8)
+        s1, s2 = mk(), mk()
+        q1 = np.full((capacity, pad_len), ord("!"), np.uint8)
+        q2 = np.full((capacity, pad_len), ord("!"), np.uint8)
+        l1 = np.zeros(capacity, np.int32)
+        l2 = np.zeros(capacity, np.int32)
+        name_cap = capacity * 256
+        names_buf = np.zeros(name_cap, np.uint8)
+        name_lens = np.zeros(capacity, np.int32)
+        u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        n = self._lib.bam_read_pair_batch(
+            self._h, exclude_flags, u8p(s1), u8p(q1), i32p(l1),
+            u8p(s2), u8p(q2), i32p(l2), u8p(names_buf), name_cap,
+            i32p(name_lens), capacity, pad_len)
+        names = []
+        off = 0
+        raw = names_buf.tobytes()
+        for i in range(n):
+            ln = int(name_lens[i])
+            names.append(raw[off : off + ln].decode())
+            off += ln
+        return names, s1[:n], q1[:n], l1[:n], s2[:n], q2[:n], l2[:n]
 
     def reset(self):
         self._lib.bam_reset(self._h)

@@ -472,9 +472,11 @@ class RufusPipeline:
             pair_stream = cram.cram_to_paired_fastq(
                 cfg.subject, self.ref_contigs(), progress_path=progress)
         else:
-            # <gen>.filter.chr progress file (runRufus.sh:966)
-            pair_stream = bam.bam_to_paired_fastq(cfg.subject,
-                                                  progress_path=progress)
+            # <gen>.filter.chr progress file (runRufus.sh:966); the C++
+            # decoder's pair stream when available (same pairing/strand
+            # semantics as bam_to_paired_fastq — keep-set parity tested),
+            # pure Python otherwise
+            pair_stream = self._paired_stream(cfg.subject, progress)
         kept = 0
         with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
             buf = []
@@ -530,6 +532,37 @@ class RufusPipeline:
             jax.device_put(jnp.asarray(l), sh),
             jax.device_put(jnp.asarray(self._hl_keys), rep)))
         return keep[:B]
+
+    def _paired_stream(self, path: str, progress_path: str | None):
+        """(name, s1, q1, s2, q2) pair stream for a BAM subject: native
+        C++ decoder (thread-pool BGZF inflate + in-C pair matching) with
+        the pure-Python reader as fallback/reference."""
+        try:
+            from ..io import native
+
+            nb = native.NativeBam(path, threads=max(self.cfg.threads, 2))
+            pad = max(self.cfg.read_pad, 1024)  # never truncate real reads
+            got_any = False
+            while True:
+                names, s1, q1, l1, s2, q2, l2 = nb.read_pair_batch(2048, pad)
+                if not names:
+                    break
+                got_any = True
+                for i, nm in enumerate(names):
+                    a, b = int(l1[i]), int(l2[i])
+                    yield (nm, s1[i, :a].tobytes().decode(),
+                           q1[i, :a].tobytes().decode(),
+                           s2[i, :b].tobytes().decode(),
+                           q2[i, :b].tobytes().decode())
+            nb.close()
+            if progress_path:
+                with open(progress_path, "w") as pf:
+                    pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
+            del got_any
+            return
+        except (RuntimeError, OSError):
+            pass
+        yield from bam.bam_to_paired_fastq(path, progress_path=progress_path)
 
     def _filter_batch(self, buf, keys, f1, f2) -> int:
         import jax.numpy as jnp

@@ -103,3 +103,33 @@ def test_hashlist_roundtrip(tmp_path):
     assert cnts == [7, 8, 9]
     keys = hashlist.hashlist_keys(p, 25, canonical=False)
     assert np.array_equal(keys, kmers)
+
+
+def test_native_pair_stream_matches_python():
+    """The C++ pair decoder must emit the identical (name, m1, q1, m2, q2)
+    stream as io.bam.bam_to_paired_fastq (pairing by name, second-seen =
+    mate1, 0x10 records un-reverse-complemented) — the filter stage's
+    keep set depends on it."""
+    import os
+    import pytest
+
+    from rufus_tpu.io import bam, native
+
+    path = "/root/reference/testRun/Child.bam"
+    if not os.path.exists(path) or not native.available():
+        pytest.skip("testRun data or native lib absent")
+    want = list(bam.bam_to_paired_fastq(path))
+    nb = native.NativeBam(path, threads=2)
+    got = []
+    while True:
+        names, s1, q1, l1, s2, q2, l2 = nb.read_pair_batch(512, 1024)
+        if not names:
+            break
+        for i, nm in enumerate(names):
+            a, b = int(l1[i]), int(l2[i])
+            got.append((nm, s1[i, :a].tobytes().decode(),
+                        q1[i, :a].tobytes().decode(),
+                        s2[i, :b].tobytes().decode(),
+                        q2[i, :b].tobytes().decode()))
+    nb.close()
+    assert got == want
