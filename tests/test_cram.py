@@ -113,3 +113,37 @@ def test_cram_matches_bam_on_trio_child(tmp_path):
     tb, tc = table(bam_seqs), table(cram_seqs)
     np.testing.assert_array_equal(tb.keys, tc.keys)
     np.testing.assert_array_equal(tb.counts, tc.counts)
+
+
+@needs_data
+def test_cram_subject_e2e(tmp_path):
+    """Full trio pipeline with the SUBJECT supplied as CRAM (controls as
+    BAM): the golden X-DeNovo call must come out identically — covering
+    the driver's .cram dispatch on both the count and filter paths."""
+    from rufus_tpu.io import bam, bwaindex
+    from rufus_tpu.pipeline import RufusConfig, RufusPipeline
+
+    contigs = bwaindex.load_pac_reference(REF)
+    refs, records = bam.read_bam(os.path.join(TESTRUN, "Child.bam"))
+    names = [r[0] for r in refs]
+    cram_path = str(tmp_path / "Child.cram")
+    cram.write_cram(
+        cram_path, names, contigs,
+        [cram.CramRecord(r.name, r.flag, r.ref_id, r.pos + 1, r.mapq,
+                         r.seq, r.qual) for r in records])
+
+    cfg = RufusConfig(
+        subject=cram_path,
+        controls=[os.path.join(TESTRUN, "Mother.bam"),
+                  os.path.join(TESTRUN, "Father.bam")],
+        ref=REF, k=25, workdir=str(tmp_path),
+        mob_fasta="/root/reference/resources/primate_non-LTR_Retrotransposon.fasta",
+    )
+    final = RufusPipeline(cfg).run()
+    rows = [l for l in open(final) if not l.startswith("#")]
+    assert len(rows) == 1
+    f = rows[0].rstrip("\n").split("\t")
+    assert f[0] == "5:177630000" and f[1] == "12896"
+    assert (f[3], f[4]) == ("T", "G")
+    fmt = dict(zip(f[8].split(":"), f[9].split(":")))
+    assert fmt["GT"] == "0/1" and fmt["DP"] == "39" and fmt["AO"] == "19"
