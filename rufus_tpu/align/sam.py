@@ -160,9 +160,32 @@ def to_sam_line(a: Alignment, rnext: str = "*", pnext: int = 0,
 
 
 def write_sam(path: str, alns, ref_index):
+    """Write a coordinate-sorted SAM. RNEXT/PNEXT/TLEN follow samtools
+    semantics for name-paired records (TLEN = rightmost end - leftmost
+    start, sign by leftmost; the reference's veryfast assembly filters on
+    it, Overlap.shorter.sh:98 `$9 > 150 || $9 < -150`)."""
+    ends: dict[str, list] = {}
+    for a in alns:
+        if (a.flag & FLAG_PAIRED) and not a.is_unmapped \
+                and not a.is_supplementary:
+            ends.setdefault(a.qname, []).append(a)
     with open(path, "w") as f:
         f.write("@HD\tVN:1.6\tSO:coordinate\n")
         for n in ref_index.names:
             f.write(f"@SQ\tSN:{n}\tLN:{ref_index.lengths[n]}\n")
         for a in alns:
-            f.write(to_sam_line(a, tags=f"NM:i:{a.nm}\tAS:i:{a.score}") + "\n")
+            rnext, pnext, tlen = "*", 0, 0
+            mates = ends.get(a.qname, [])
+            mate = next((m for m in mates if m is not a), None)
+            if mate is not None and not a.is_unmapped:
+                rnext = "=" if mate.ref_id == a.ref_id else mate.ref_name
+                pnext = mate.pos + 1
+                if mate.ref_id == a.ref_id:
+                    lo = min(a.pos, mate.pos)
+                    hi = max(a.pos + a.ref_span(), mate.pos + mate.ref_span())
+                    tlen = hi - lo
+                    if a.pos > mate.pos or (a.pos == mate.pos
+                                            and bool(a.flag & FLAG_MATE1)):
+                        tlen = -tlen
+            f.write(to_sam_line(a, rnext=rnext, pnext=pnext, tlen=tlen,
+                                tags=f"NM:i:{a.nm}\tAS:i:{a.score}") + "\n")

@@ -38,6 +38,7 @@ class SamLikeRec:
     flag: int
     seq: str
     qual: str
+    tlen: int = 0
 
 
 class RufusPipeline:
@@ -669,10 +670,13 @@ class RufusPipeline:
             if line.startswith("@"):
                 continue
             f = line.rstrip("\n").split("\t")
-            records.append(SamLikeRec(int(f[1]), f[9], f[10]))
+            records.append(SamLikeRec(int(f[1]), f[9], f[10], int(f[8])))
         strs, cnts = hio.read_hashlist(hl_path)
         threads = max(cfg.threads, 1)
         if cfg.assembly_speed == "veryfast":
+            # the veryfast path assembles long-insert pairs only
+            # (Overlap.shorter.sh:98: samtools view | awk '$9>150||$9<-150')
+            records = [r for r in records if abs(r.tlen) > 150]
             r0, _ = overlap_sam(records, strs, ns, 0.99, 25, 3, cfg.k)
             r4, _ = overlap_round(r0, ns, 0.99, 75, 5, 15, 1, 1,
                                   buffer_size=100 * threads)

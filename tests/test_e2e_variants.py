@@ -76,3 +76,21 @@ def test_fastq_input_mode(tmp_path):
     )
     final = RufusPipeline(cfg).run()
     _assert_golden_call(final)
+
+
+@needs_data
+def test_veryfast_assembly_mode(tmp_path):
+    """-speed veryfast: long-insert pair selection (TLEN filter,
+    Overlap.shorter.sh:98) + the two-round assembly; the golden call
+    must still come out."""
+    from rufus_tpu.pipeline import RufusConfig, RufusPipeline
+
+    cfg = RufusConfig(
+        subject=os.path.join(TESTRUN, "Child.bam"),
+        controls=[os.path.join(TESTRUN, "Mother.bam"),
+                  os.path.join(TESTRUN, "Father.bam")],
+        ref=REF, k=25, workdir=str(tmp_path), mob_fasta=MOB,
+        assembly_speed="veryfast",
+    )
+    final = RufusPipeline(cfg).run()
+    _assert_golden_call(final)
