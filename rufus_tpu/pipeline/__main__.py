@@ -48,6 +48,10 @@ def main():
                         "(runRufus.sh:351-356)")
     p.add_argument("--sharded", default="auto", choices=["auto", "on", "off"],
                    help="mesh-sharded device pipeline (auto: when >1 device)")
+    p.add_argument("--flat-index", default="",
+                   help="path to a memmapped seed index (built on first "
+                        "use): bounds aligner host RAM for whole-genome "
+                        "references")
     p.add_argument("--pacbio", nargs="?", const="", default=None,
                    metavar="CONTIGS_FASTA",
                    help="long-read (HiFi) path (Overlap.pacbio.sh role): "
@@ -70,7 +74,7 @@ def main():
         mob_fasta=a.mob, ref_hash=a.refhash, exome=a.exome, mosaic=a.mosaic,
         single_end=a.single_end, assembly_speed=a.speed,
         stop_after=a.stop_after, haploid=a.haploid, saliva=a.saliva,
-        clean=a.clean, sharded=a.sharded,
+        clean=a.clean, sharded=a.sharded, flat_index=a.flat_index,
     )
     pipe = RufusPipeline(cfg)
     if a.regenotype is not None:

@@ -40,6 +40,9 @@ class RufusConfig:
     # subtract/filter chain (auto = on when >1 jax device is visible)
     clean: bool = False  # -CLEAN: purge intermediates after the run
     # (runRufus.sh:351-356)
+    flat_index: str = ""  # path to a build_flat_index seed index: built
+    # on first use and memmapped thereafter, bounding aligner host RAM
+    # for whole-genome references (align/aligner.py)
     saliva: bool = False  # aligned-only mutant-read filter for saliva
     # samples (runRufus.sh:1062-1076): drop unaligned reads before assembly
     haploid: bool = False  # ModelDist.haploid fit (ModelDist.haploid.cpp:29)

@@ -83,7 +83,16 @@ class RufusPipeline:
 
     def ref_index(self):
         if self._ref_index is None:
-            self._ref_index = RefIndex(self.ref_contigs())
+            if self.cfg.flat_index:
+                from ..align.aligner import build_flat_index, open_flat_index
+
+                if not os.path.exists(self.cfg.flat_index):
+                    self._log(f"building flat seed index "
+                              f"{self.cfg.flat_index} (one-time)")
+                    build_flat_index(self.ref_contigs(), self.cfg.flat_index)
+                self._ref_index = open_flat_index(self.cfg.flat_index)
+            else:
+                self._ref_index = RefIndex(self.ref_contigs())
         return self._ref_index
 
     # -- stage 1: count -----------------------------------------------------

@@ -7,6 +7,7 @@ sw_device.sw_batch; since the device DP is bit-identical to sw_kernel
 field must match the sequential path exactly."""
 
 import numpy as np
+import os
 import pytest
 
 from rufus_tpu.align.aligner import (Aligner, RefIndex, build_flat_index,
@@ -86,3 +87,31 @@ def test_flat_index_equals_ram_index(ctx, tmp_path):
         got = al_flat.align_seq(f"f{t}", read, "I" * len(read))
         want = al_ram.align_seq(f"f{t}", read, "I" * len(read))
         assert [_aln_tuple(x) for x in got] == [_aln_tuple(x) for x in want]
+
+
+def test_pipeline_flat_index_option(ctx, tmp_path):
+    """cfg.flat_index builds the memmapped index on first use and the
+    pipeline's ref_index() serves it with RefIndex semantics."""
+    from rufus_tpu.pipeline import RufusConfig
+    from rufus_tpu.pipeline.driver import RufusPipeline
+
+    ref, contigs, genome, rng = ctx
+    # write a small fasta the pipeline can load
+    fa = tmp_path / "toy.fa"
+    with open(fa, "w") as f:
+        for name, arr in contigs.items():
+            f.write(f">{name}\n")
+            s = arr.tobytes().decode()
+            for i in range(0, len(s), 60):
+                f.write(s[i : i + 60] + "\n")
+    idx_path = str(tmp_path / "toy.flatidx")
+    cfg = RufusConfig(subject="x.bam", controls=[], ref=str(fa),
+                      workdir=str(tmp_path), flat_index=idx_path)
+    pipe = RufusPipeline(cfg)
+    flat = pipe.ref_index()
+    assert os.path.exists(idx_path)
+    np.testing.assert_array_equal(np.asarray(flat.seed_keys),
+                                  np.asarray(ref.seed_keys))
+    # reopening (resume) memmaps the existing file
+    pipe2 = RufusPipeline(cfg)
+    assert isinstance(pipe2.ref_index().seed_keys, np.memmap)
