@@ -205,16 +205,18 @@ def build_flat_index(contigs: dict[str, np.ndarray], path: str,
             out.write(header)
             genome.tofile(out)
             out.write(b"\0" * pad_bytes)
-            for i in range(nb):  # keys plane, bucket-sorted
+            for i in range(nb):  # keys plane: sort each bucket ONCE and
+                # write the sorted records back to the spill file so the
+                # positions plane below just streams them
+                fp = os.path.join(tmpdir, f"b{i:03d}")
+                rec = np.fromfile(fp, dtype=[("k", "<u8"), ("p", "<u4")])
+                rec = rec[np.argsort(rec["k"], kind="stable")]
+                rec["k"].tofile(out)
+                rec.tofile(fp)
+            for i in range(nb):  # positions plane, already sorted
                 rec = np.fromfile(os.path.join(tmpdir, f"b{i:03d}"),
                                   dtype=[("k", "<u8"), ("p", "<u4")])
-                order = np.argsort(rec["k"], kind="stable")
-                rec["k"][order].tofile(out)
-            for i in range(nb):  # positions plane, same order
-                rec = np.fromfile(os.path.join(tmpdir, f"b{i:03d}"),
-                                  dtype=[("k", "<u8"), ("p", "<u4")])
-                order = np.argsort(rec["k"], kind="stable")
-                rec["p"][order].tofile(out)
+                rec["p"].tofile(out)
     finally:
         for i in range(nb):
             p = os.path.join(tmpdir, f"b{i:03d}")
@@ -486,8 +488,12 @@ class Aligner:
         rev = codec.revcomp_str(fwd)
         results = []
         for strand, s in ((0, fwd), (1, rev)):
-            codes = encode(np.frombuffer(s.encode(), np.uint8))
-            for diag, cnt in self._candidates(codes):
+            if _dp_map is not None and ("cands", strand) in _dp_map:
+                diags = _dp_map[("cands", strand)]  # phase-1 seed lookup
+            else:
+                codes = encode(np.frombuffer(s.encode(), np.uint8))
+                diags = [d for d, _ in self._candidates(codes, max_cands)]
+            for diag in diags:
                 dp = None if _dp_map is None else _dp_map.get((strand, diag))
                 ext = self._extend(s, diag, dp=dp)
                 if ext is None:
@@ -518,6 +524,11 @@ class Aligner:
             out.extend(self._find_splits(name, qual, best, results, min_score))
         return out
 
+    # bound on live H matrices per group of the batched path (the H of a
+    # candidate is (n+1)x(m+1) i32; views keep their chunk arrays alive,
+    # so memory is controlled by grouping ITEMS, not by the chunk size)
+    sw_group_budget = 256 << 20
+
     def align_seqs(self, items, max_cands: int = 4, min_score: int = 30,
                    splits: bool = False, batch: int = 256):
         """Batched alignment: the candidate DPs of MANY sequences run as
@@ -527,26 +538,44 @@ class Aligner:
         everything downstream is shared code).
 
         items: iterable of (name, seq, qual). `batch` caps candidates per
-        device call, bounding the returned-H footprint at roughly
-        batch * (max_q+1) * (max_w+1) * 4 bytes."""
+        device call; items are additionally processed in groups whose
+        total H footprint stays under sw_group_budget, so host memory is
+        O(budget) regardless of item count."""
         items = list(items)
-        # phase 1: gather every candidate window (host seed lookup)
+        out = []
+        g0 = 0
+        while g0 < len(items):
+            g1, est = g0, 0
+            while g1 < len(items) and (est < self.sw_group_budget
+                                       or g1 == g0):
+                L = len(items[g1][1])
+                est += 2 * max_cands * (L + 1) * (L + 129) * 4
+                g1 += 1
+            out.extend(self._align_group(items[g0:g1], max_cands,
+                                         min_score, splits, batch))
+            g0 = g1
+        return out
+
+    def _align_group(self, items, max_cands, min_score, splits, batch):
+        # phase 1: every candidate window (host seed lookup, done ONCE —
+        # phase 3 reuses the diagonal lists instead of re-seeding)
         cand_list = []  # (item_idx, strand, diag, codes, window, g0)
-        per_item_strs = []
+        dp_maps = [dict() for _ in items]
         for idx, (name, seq, qual) in enumerate(items):
             fwd = seq.upper()
             rev = codec.revcomp_str(fwd)
-            per_item_strs.append((fwd, rev))
             for strand, s in ((0, fwd), (1, rev)):
                 codes = encode(np.frombuffer(s.encode(), np.uint8))
+                diags = []
                 for diag, _cnt in self._candidates(codes, max_cands):
                     win = self._window(s, diag)
                     if win is None:
                         continue
+                    diags.append(diag)
                     cand_list.append((idx, strand, diag) + win)
+                dp_maps[idx][("cands", strand)] = diags
 
-        # phase 2: chunked device DPs, bucketed to two pad shapes
-        dp_maps = [dict() for _ in items]
+        # phase 2: chunked device DPs, bucketed by pad shape
         if cand_list:
             from . import sw_device
 

@@ -176,7 +176,11 @@ def write_sam(path: str, alns, ref_index):
         for a in alns:
             rnext, pnext, tlen = "*", 0, 0
             mates = ends.get(a.qname, [])
-            mate = next((m for m in mates if m is not a), None)
+            # the mate is the record with the OPPOSITE mate flag — "any
+            # other object" would pair a supplementary with its own
+            # primary segment
+            mate = next((m for m in mates
+                         if (m.flag & 0xC0) != (a.flag & 0xC0)), None)
             if mate is not None and not a.is_unmapped:
                 rnext = "=" if mate.ref_id == a.ref_id else mate.ref_name
                 pnext = mate.pos + 1

@@ -261,7 +261,8 @@ def _read_container_header(f):
     if len(hdr) < 4:
         return None
     (length,) = struct.unpack("<i", hdr)
-    rest = io.BytesIO(f.read(1024))
+    pos0 = f.tell()
+    rest = io.BytesIO(f.read(1024))  # may be short near EOF
     ref_id = _s32(read_itf8(rest))
     start = read_itf8(rest)
     span = read_itf8(rest)
@@ -273,8 +274,8 @@ def _read_container_header(f):
     for _ in range(n_land):
         read_itf8(rest)
     rest.read(4)  # container CRC
-    consumed = rest.tell()
-    f.seek(-(1024 - consumed), 1)
+    f.seek(pos0 + rest.tell())  # absolute: a relative seek against the
+    # requested (not actual) read size breaks on short reads near EOF
     return dict(length=length, ref_id=ref_id, start=start, span=span,
                 n_rec=n_rec, counter=counter, bases=bases, n_blocks=n_blocks)
 
@@ -289,12 +290,11 @@ def read_cram(path: str, contigs: dict[str, np.ndarray]):
     hdr = _read_container_header(f)
     payload = io.BytesIO(f.read(hdr["length"]))
     ctype, _, sam_header = _read_block(payload)
-    if sam_header[:4].isdigit() or True:
-        # htslib may pad/prefix the SAM header with its length (i32)
-        if len(sam_header) >= 4:
-            (hl,) = struct.unpack("<i", sam_header[:4])
-            if 0 <= hl <= len(sam_header) - 4:
-                sam_header = sam_header[4 : 4 + hl]
+    # the SAM header block is prefixed with its i32 length (spec 8.1)
+    if len(sam_header) >= 4:
+        (hl,) = struct.unpack("<i", sam_header[:4])
+        if 0 <= hl <= len(sam_header) - 4:
+            sam_header = sam_header[4 : 4 + hl]
     ref_names = []
     for line in sam_header.decode(errors="replace").splitlines():
         if line.startswith("@SQ"):
@@ -409,7 +409,7 @@ def _decode_slice(pres, enc_map, ext, core, s_ref, s_start, s_nrec,
     for _ in range(s_nrec):
         bf = iread("BF")
         cf = iread("CF")
-        rid = iread("RI", s_ref) if s_ref == -2 else s_ref
+        rid = _s32(iread("RI")) if s_ref == -2 else s_ref
         rl = iread("RL")
         ap = iread("AP")
         if pres["AP"]:
@@ -423,16 +423,12 @@ def _decode_slice(pres, enc_map, ext, core, s_ref, s_start, s_nrec,
             name = dec["RN"].read_bytes().decode()
         if cf & 2:  # detached mate
             iread("MF")
-            if not pres["RN"] or not dec.get("RN"):
-                pass
             iread("NS")
             iread("NP")
             iread("TS")
         elif cf & 4:
             iread("NF")
         tl = iread("TL")
-        for key in pres["TD"][tl].decode().split() if False else ():
-            pass
         td_line = pres["TD"][tl] if tl < len(pres["TD"]) else b""
         for t in range(0, len(td_line), 3):
             tid = (td_line[t] << 16) | (td_line[t + 1] << 8) | td_line[t + 2]

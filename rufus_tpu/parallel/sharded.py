@@ -303,31 +303,48 @@ def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
         else:
             hi, lo = pallas_count.encode_canon_hilo_xla(reads, k)
         hi, lo = hi.ravel(), lo.ravel()
+        m = hi.shape[0]
+        # collapse ADJACENT duplicate k-mers before routing (homopolymer
+        # and STR runs make every window of a read the same canonical
+        # k-mer, and ALL copies hash to ONE peer — a per-key hotspot no
+        # uniform-slack bin sizing can absorb at large n; collapsing
+        # bounds one read's contribution to a peer at O(distinct), and
+        # run heads carry the run length as an i32 count plane)
+        same = jnp.concatenate([jnp.zeros((1,), bool),
+                                (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])])
+        head = ~same
+        idx = jnp.arange(m, dtype=jnp.int32)
+        marks = jnp.where(head, idx, jnp.int32(m))
+        nxt = jnp.concatenate([jnp.flip(jax.lax.cummin(jnp.flip(marks)))[1:],
+                               jnp.full((1,), m, jnp.int32)])
+        run_len = nxt - idx
         is_sent = (hi == _U32_ONES) & (lo == _U32_ONES)
-        owner = jnp.where(is_sent, n, _owner_hash_hilo(hi, lo, n))
-        (bh, bl), dropped = _route_segments(
-            owner, (hi, lo), (_U32_ONES, _U32_ONES), n, route_cap)
+        valid = head & ~is_sent
+        owner = jnp.where(valid, _owner_hash_hilo(hi, lo, n), n)
+        (bh, bl, bc), dropped = _route_segments(
+            owner, (hi, lo, run_len), (_U32_ONES, _U32_ONES, jnp.int32(0)),
+            n, route_cap)
         bins = (bh.astype(jnp.uint64) << jnp.uint64(32)) | bl.astype(jnp.uint64)
-        # exchange: shard i sends bins[j] to shard j. The routed keys come
-        # back RAW (count-1 each) — per-batch sort+RLE here would cost two
-        # capacity-wide sorts per batch for compaction the fold's buffered
-        # sort does anyway (and cheaper, amortized over several batches).
+        # exchange: shard i sends bins[j] to shard j; counts ride along.
         bins = jax.lax.all_to_all(bins[None], axis, split_axis=1,
                                   concat_axis=0, tiled=False)
+        cnts = jax.lax.all_to_all(bc[None], axis, split_axis=1,
+                                  concat_axis=0, tiled=False)
         keys = bins.reshape(1, -1)
+        cnts = cnts.reshape(1, -1)
         nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
         # replicated total: host-readable on every process of a
         # multi-process mesh
         dropped = jax.lax.psum(dropped, axis)
-        return keys, nn[None], dropped
+        return keys, cnts, nn[None], dropped
 
     f = jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
-                          out_specs=(P(axis), P(axis), P()),
+                          out_specs=(P(axis), P(axis), P(axis), P()),
                           check_vma=False))
 
     def run(reads):
-        keys, nn, dropped = f(reads)
-        return keys, None, nn, dropped
+        keys, cnts, nn, dropped = f(reads)
+        return keys, cnts, nn, dropped
 
     return run
 

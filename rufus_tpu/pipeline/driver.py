@@ -232,8 +232,9 @@ class RufusPipeline:
                 self._log(
                     f"count routing: {n_dev} devices, route_cap="
                     f"{self._route_cap}/peer -> "
-                    f"{n_dev * self._route_cap * 8} B exchanged per device "
-                    f"per batch ({bcap * 8} B useful payload; O(batch), "
+                    f"{n_dev * self._route_cap * 12} B exchanged per device "
+                    f"per batch (12 B/slot: u64 key + i32 run count; "
+                    f"<= {bcap * 12} B useful payload; O(batch), "
                     f"independent of device count)")
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
@@ -684,8 +685,12 @@ class RufusPipeline:
         threads = max(cfg.threads, 1)
         if cfg.assembly_speed == "veryfast":
             # the veryfast path assembles long-insert pairs only
-            # (Overlap.shorter.sh:98: samtools view | awk '$9>150||$9<-150')
-            records = [r for r in records if abs(r.tlen) > 150]
+            # (Overlap.shorter.sh:98: samtools view | awk '$9>150||$9<-150').
+            # Single-end records all carry TLEN=0 — the reference's awk
+            # would empty the stream and exit 100 there; we keep them
+            # instead of replicating that dead end.
+            if any(r.flag & 0x1 for r in records):
+                records = [r for r in records if abs(r.tlen) > 150]
             r0, _ = overlap_sam(records, strs, ns, 0.99, 25, 3, cfg.k)
             r4, _ = overlap_round(r0, ns, 0.99, 75, 5, 15, 1, 1,
                                   buffer_size=100 * threads)

@@ -147,3 +147,39 @@ def test_cram_subject_e2e(tmp_path):
     assert (f[3], f[4]) == ("T", "G")
     fmt = dict(zip(f[8].split(":"), f[9].split(":")))
     assert fmt["GT"] == "0/1" and fmt["DP"] == "39" and fmt["AO"] == "19"
+
+
+def test_small_and_offcut_files(tmp_path):
+    """Regression: files whose trailing containers are shorter than the
+    header read-ahead (2 records), and record counts that leave a 1-record
+    final container (4097), both decode; unmapped ref_id round-trips -1
+    through multi-reference slices."""
+    contigs = _toy_contigs()
+    names = list(contigs)
+    seq = contigs["c1"][:60].tobytes().decode()
+    small = [cram.CramRecord(f"s{i}", 77, -1, 0, 0, seq, "I" * 60)
+             for i in range(2)]
+    p1 = str(tmp_path / "tiny.cram")
+    cram.write_cram(p1, names, contigs, small)
+    _, it = cram.read_cram(p1, contigs)
+    got = list(it)
+    assert len(got) == 2 and got[0].seq == seq
+
+    # multi-ref slice with a mapped + unmapped mix: ref_id signs survive
+    mix = [cram.CramRecord("m0", 0, 0, 10, 60,
+                           contigs["c1"][9:69].tobytes().decode(), "I" * 60),
+           cram.CramRecord("m1", 0, 1, 10, 60,
+                           contigs["c2"][9:69].tobytes().decode(), "I" * 60),
+           cram.CramRecord("m2", 77, -1, 0, 0, seq, "I" * 60)]
+    p2 = str(tmp_path / "mix.cram")
+    cram.write_cram(p2, names, contigs, mix)
+    _, it = cram.read_cram(p2, contigs)
+    got = list(it)
+    assert [g.ref_id for g in got] == [0, 1, -1]
+
+    big = [cram.CramRecord(f"b{i}", 77, -1, 0, 0, seq, "I" * 60)
+           for i in range(4097)]
+    p3 = str(tmp_path / "offcut.cram")
+    cram.write_cram(p3, names, contigs, big)
+    _, it = cram.read_cram(p3, contigs)
+    assert sum(1 for _ in it) == 4097

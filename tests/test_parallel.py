@@ -199,22 +199,30 @@ def test_route_capacity_is_o_batch_and_overflow_detected():
         assert n * rcap <= 2 * bcap, (n, rcap)
         assert rcap >= bcap // n  # can't be smaller than the mean load
     # force overflow: a route_cap below the per-peer mean load guarantees
-    # some peer bin overflows; the dropped count must exactly cover the
-    # keys that didn't make it (lossless accounting)
+    # some peer bin overflows; the routed weight must then fall short of
+    # the true window count and the drop counter must fire (the caller's
+    # lossless-retry signal) — and conversely with ample capacity the
+    # routed weight must be exact
     k = 13
     B, L = 16 * 8, 48
     rng = np.random.default_rng(2)
     reads = rng.choice(BASES, size=(B, L))
     mesh = make_mesh(8)
     bcap = (B // 8) * (L - k + 1)  # 576 keys/device, mean 72/peer
-    step = sharded_count_step(mesh, k, bcap, route_cap=32)
-    bk, _, _, dr = step(_shard(mesh, reads))
-    n_dropped = int(np.asarray(dr).sum())
-    kept = int(np.asarray(jnp.sum(bk != count.SENTINEL)))
     _, counts, _ = count.count_reads_batch(jnp.asarray(reads), k)
     total_valid = int(np.asarray(counts).sum())
+
+    step = sharded_count_step(mesh, k, bcap, route_cap=32)
+    bk, bc, _, dr = step(_shard(mesh, reads))
+    n_dropped = int(np.asarray(dr).sum())
+    kept_w = int(np.asarray(jnp.sum(jnp.asarray(bc))))
     assert n_dropped > 0, "expected overflow at route_cap=32"
-    assert kept + n_dropped == total_valid, "drop accounting is lossy"
+    assert kept_w < total_valid, "overflow must lose weight (and be retried)"
+
+    step2 = sharded_count_step(mesh, k, bcap)  # default sizing: lossless
+    bk2, bc2, _, dr2 = step2(_shard(mesh, reads))
+    assert int(np.asarray(dr2).sum()) == 0
+    assert int(np.asarray(jnp.sum(jnp.asarray(bc2)))) == total_valid
 
 
 @needs_mesh

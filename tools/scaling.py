@@ -97,8 +97,8 @@ def bench_mesh(n_dev: int, per_dev_reads: int = 2048, L: int = 160,
         # checkable exchange-volume model: per-peer bin width is
         # O(bcap/n), so per-device all_to_all volume stays O(batch)
         "route_cap_per_peer": rcap,
-        "exchanged_bytes_per_device_per_batch": n_dev * rcap * 8,
-        "useful_payload_bytes_per_device_per_batch": bcap * 8,
+        "exchanged_bytes_per_device_per_batch": n_dev * rcap * 12,
+        "useful_payload_bytes_per_device_per_batch": bcap * 12,
     }
 
 
