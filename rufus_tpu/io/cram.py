@@ -11,7 +11,8 @@ reconstruction against the reference — follow the spec so
 htslib-written files using the same core subset decode too).
 
 Subset supported by the READER:
-* containers with gzip (method 1) or raw (0) blocks;
+* containers with raw (0), gzip (1), bzip2 (2) or rANS-4x8 (4) blocks —
+  method 4 being htslib's CRAM 3.0 default (io/rans.py);
 * encodings: EXTERNAL(1), HUFFMAN(3) in its common degenerate
   zero-bit single-symbol form, BYTE_ARRAY_STOP(5), BYTE_ARRAY_LEN(4)
   with nested EXTERNAL lengths/values;
@@ -156,6 +157,10 @@ def _read_block(buf: io.BytesIO):
         import bz2
 
         data = bz2.decompress(data)
+    elif method == 4:  # rANS 4x8, htslib's CRAM 3.0 default
+        from . import rans
+
+        data = rans.uncompress(data)
     elif method != 0:
         raise NotImplementedError(f"CRAM compression method {method}")
     if len(data) != raw_size:
