@@ -240,6 +240,10 @@ def test_sharded_table_grows_on_overflow():
     table = ShardedKmerTable(mesh, k, capacity=16)  # absurdly small
     for i in range(2):
         bk, bc, _, _ = step(_shard(mesh, reads[i * (B // 2):(i + 1) * (B // 2)]))
+        # virtual CPU devices share one thread pool: force the all_to_all
+        # to finish before fold partitions can occupy it (flaky deadlock
+        # under load otherwise; real-chip collectives don't interleave so)
+        jax.block_until_ready(bk)
         table.fold_batch(bk, bc)
     table.flush()  # folds are buffered; force them before inspecting
     assert table.capacity > 16
