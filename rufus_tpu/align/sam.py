@@ -188,8 +188,60 @@ def write_sam(path: str, alns, ref_index):
                     lo = min(a.pos, mate.pos)
                     hi = max(a.pos + a.ref_span(), mate.pos + mate.ref_span())
                     tlen = hi - lo
+                    # leftmost segment gets +; on a tie samtools/bwa give
+                    # + to the FIRST segment (mate1), - to mate2
                     if a.pos > mate.pos or (a.pos == mate.pos
-                                            and bool(a.flag & FLAG_MATE1)):
+                                            and bool(a.flag & FLAG_MATE2)):
                         tlen = -tlen
             f.write(to_sam_line(a, rnext=rnext, pnext=pnext, tlen=tlen,
                                 tags=f"NM:i:{a.nm}\tAS:i:{a.score}") + "\n")
+
+
+def write_bam(path: str, alns, ref_index):
+    """Write a coordinate-sorted, indexed BAM (+ .bai) — the reference's
+    user-facing artifact form (`bwa | samblaster | samtools sort` +
+    `samtools index`, runRufus.sh:1000-1001, Overlap.shorter.sh:209-218).
+    Mate fields follow write_sam's samtools semantics exactly."""
+    from ..io import bam as iobam
+
+    ends: dict[str, list] = {}
+    for a in alns:
+        if (a.flag & FLAG_PAIRED) and not a.is_unmapped \
+                and not a.is_supplementary:
+            ends.setdefault(a.qname, []).append(a)
+    name_to_id = {n: i for i, n in enumerate(ref_index.names)}
+    refs = [(n, ref_index.lengths[n]) for n in ref_index.names]
+
+    def records():
+        for a in alns:
+            nrid, npos, tlen = -1, -1, 0
+            mates = ends.get(a.qname, [])
+            mate = next((m for m in mates
+                         if (m.flag & 0xC0) != (a.flag & 0xC0)), None)
+            if mate is not None and not a.is_unmapped:
+                nrid = name_to_id.get(mate.ref_name, -1)
+                npos = mate.pos
+                if mate.ref_id == a.ref_id:
+                    lo = min(a.pos, mate.pos)
+                    hi = max(a.pos + a.ref_span(),
+                             mate.pos + mate.ref_span())
+                    tlen = hi - lo
+                    if a.pos > mate.pos or (a.pos == mate.pos
+                                            and bool(a.flag & FLAG_MATE2)):
+                        tlen = -tlen
+            rid = name_to_id.get(a.ref_name, -1) if not a.is_unmapped else -1
+            yield iobam.BamRecord(
+                a.qname, a.flag, rid, a.pos if rid >= 0 else -1, a.mapq,
+                a.cigar if not a.is_unmapped else [], a.seq, a.qual,
+                nrid, npos, tlen)
+
+    header = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
+    tag_iter = iter(alns)
+
+    def tags_for(rec):
+        a = next(tag_iter)
+        return iobam._enc_tags([f"NM:i:{a.nm}", f"AS:i:{a.score}"])
+
+    return iobam.write_bam(path, refs, records(), header_text=header,
+                           tags_for=tags_for)

@@ -124,12 +124,18 @@ def read_ltf8(buf: io.BytesIO) -> int:
 
 
 def _write_block(out, content_type: int, content_id: int, data: bytes,
-                 gz: bool = False):
+                 gz: bool = False, method: int | None = None):
     raw_size = len(data)
-    method = 0
-    if gz:
+    if method is None:
+        method = 1 if gz else 0
+    if method == 1:
         data = zlib.compress(data, 6)
-        method = 1
+    elif method == 3:
+        import lzma
+
+        data = lzma.compress(data)
+    elif method != 0:
+        raise ValueError(f"unsupported write method {method}")
     body = (bytes([method]) + write_itf8(content_type)
             + write_itf8(content_id) + write_itf8(len(data))
             + write_itf8(raw_size) + data)
@@ -157,6 +163,10 @@ def _read_block(buf: io.BytesIO):
         import bz2
 
         data = bz2.decompress(data)
+    elif method == 3:  # lzma (htslib --output-fmt-option use_lzma)
+        import lzma
+
+        data = lzma.decompress(data)
     elif method == 4:  # rANS 4x8, htslib's CRAM 3.0 default
         from . import rans
 
@@ -427,7 +437,13 @@ def _decode_slice(pres, enc_map, ext, core, s_ref, s_start, s_nrec,
         if pres["RN"] and dec.get("RN"):
             name = dec["RN"].read_bytes().decode()
         if cf & 2:  # detached mate
-            iread("MF")
+            mf = iread("MF")
+            # htslib does not store mate flags in BF: fold MF back in
+            # (MF 0x1 -> mate reverse 0x20, MF 0x2 -> mate unmapped 0x8)
+            if mf & 1:
+                bf |= 0x20
+            if mf & 2:
+                bf |= 0x8
             iread("NS")
             iread("NP")
             iread("TS")
@@ -564,12 +580,15 @@ def _sub_code(ref_base: str, alt: str) -> int:
 
 
 def write_cram(path: str, ref_names: list[str],
-               contigs: dict[str, np.ndarray], records):
+               contigs: dict[str, np.ndarray], records,
+               slices_per_container: int = 1, method: int = 1):
     """records: iterable of CramRecord-likes (name, flag, ref_id, pos,
     mapq, seq, qual) with cigar-free semantics: mapped reads are stored
     as full-length matches + substitution features vs the reference
     (soft structure like clips comes through as mismatch runs), unmapped
-    reads verbatim. One slice per container."""
+    reads verbatim. `slices_per_container` > 1 packs that many slices
+    under one compression header (htslib's default layout); `method`
+    selects block compression (1=gzip, 3=lzma)."""
     recs = list(records)
     out = open(path, "wb")
     out.write(CRAM_MAGIC)
@@ -580,8 +599,10 @@ def write_cram(path: str, ref_names: list[str],
         f"@SQ\tSN:{n}\tLN:{len(contigs[n]) if n in contigs else 0}\n"
         for n in ref_names)
     _write_file_header_container(out, sam.encode())
-    for c0 in range(0, len(recs), 4096):
-        _write_data_container(out, ref_names, contigs, recs[c0 : c0 + 4096])
+    step = 4096 * max(1, slices_per_container)
+    for c0 in range(0, len(recs), step):
+        _write_data_container(out, ref_names, contigs, recs[c0 : c0 + step],
+                              slices=slices_per_container, method=method)
     # EOF container (spec-fixed content: empty compression header)
     _write_eof(out)
     out.close()
@@ -623,16 +644,19 @@ _SERIES_IDS = {"BF": 1, "CF": 2, "RI": 3, "RL": 4, "AP": 5, "RG": 6,
                "IN": 18, "SC": 19, "DL": 20, "BA": 21, "QS": 22, "MQ": 23}
 
 
-def _write_data_container(out, ref_names, contigs, recs):
-    streams = {k: bytearray() for k in _SERIES_IDS}
+def _slice_extent(recs):
+    """(ref_id, start, span) for a record subset."""
     s_ref = recs[0].ref_id if recs else 0
-    multi = any(r.ref_id != s_ref for r in recs)
-    if multi:
+    if any(r.ref_id != s_ref for r in recs):
         s_ref = -2
     mapped_pos = [r.pos for r in recs if not (r.flag & 0x4) and r.pos > 0]
     s_start = min(mapped_pos) if mapped_pos and s_ref >= 0 else 0
     s_span = (max(mapped_pos) - s_start + 1) if mapped_pos and s_ref >= 0 else 0
+    return s_ref, s_start, s_span
 
+
+def _slice_streams(ref_names, contigs, recs, s_ref):
+    streams = {k: bytearray() for k in _SERIES_IDS}
     for r in recs:
         streams["BF"] += write_itf8(r.flag)
         streams["CF"] += write_itf8(3)  # quals stored | detached mate
@@ -674,6 +698,15 @@ def _write_data_container(out, ref_names, contigs, recs):
         else:
             streams["BA"] += r.seq.encode()
         streams["QS"] += bytes(ord(c) - 33 for c in r.qual)
+    return streams
+
+
+def _write_data_container(out, ref_names, contigs, recs, slices=1, method=1):
+    # split records into per-slice chunks sharing one compression header
+    slices = max(1, slices)
+    per = -(-len(recs) // slices) if recs else 1
+    chunks = [recs[i : i + per] for i in range(0, len(recs), per)] or [recs]
+    c_ref, c_start, c_span = _slice_extent(recs)
 
     # compression header
     pres = bytearray()
@@ -698,22 +731,27 @@ def _write_data_container(out, ref_names, contigs, recs):
 
     buf = io.BytesIO()
     _write_block(buf, CT_COMPRESSION_HEADER, 0, bytes(pres), gz=False)
-    # slice header
-    used = [cid for key, cid in _SERIES_IDS.items() if streams[key]]
-    sl = (write_itf8(s_ref & 0xFFFFFFFF) + write_itf8(s_start)
-          + write_itf8(s_span) + write_itf8(len(recs)) + write_ltf8(0)
-          + write_itf8(1 + len(used)) + write_itf8(len(used)))
-    for cid in used:
-        sl += write_itf8(cid)
-    sl += write_itf8(0xFFFFFFFF)  # no embedded reference
-    sl += b"\x00" * 16
-    _write_block(buf, CT_SLICE_HEADER, 0, sl, gz=False)
-    _write_block(buf, 5, 0, b"", gz=False)  # empty core block
-    for key, cid in _SERIES_IDS.items():
-        if streams[key]:
-            _write_block(buf, CT_EXTERNAL, cid, bytes(streams[key]), gz=True)
-    _container(out, buf.getvalue(), s_ref, s_start, s_span, len(recs),
-               3 + len(used))
+    n_blocks = 1
+    for chunk in chunks:
+        s_ref, s_start, s_span = _slice_extent(chunk)
+        streams = _slice_streams(ref_names, contigs, chunk, s_ref)
+        used = [cid for key, cid in _SERIES_IDS.items() if streams[key]]
+        sl = (write_itf8(s_ref & 0xFFFFFFFF) + write_itf8(s_start)
+              + write_itf8(s_span) + write_itf8(len(chunk)) + write_ltf8(0)
+              + write_itf8(1 + len(used)) + write_itf8(len(used)))
+        for cid in used:
+            sl += write_itf8(cid)
+        sl += write_itf8(0xFFFFFFFF)  # no embedded reference
+        sl += b"\x00" * 16
+        _write_block(buf, CT_SLICE_HEADER, 0, sl, gz=False)
+        _write_block(buf, 5, 0, b"", gz=False)  # empty core block
+        for key, cid in _SERIES_IDS.items():
+            if streams[key]:
+                _write_block(buf, CT_EXTERNAL, cid, bytes(streams[key]),
+                             method=method)
+        n_blocks += 2 + len(used)
+    _container(out, buf.getvalue(), c_ref, c_start, c_span, len(recs),
+               n_blocks)
 
 
 # ---------------------------------------------------------------------------

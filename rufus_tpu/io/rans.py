@@ -31,41 +31,33 @@ TOTFREQ = 1 << TF_SHIFT
 # ---------------------------------------------------------------------------
 
 
+def _write_freq_val(out: bytearray, f: int):
+    if f >= 128:
+        out.append(0x80 | (f >> 8))
+        out.append(f & 0xFF)
+    else:
+        out.append(f)
+
+
 def _write_freqs(out: bytearray, freqs: dict[int, int]):
-    """Symbols ascending; runs of consecutive symbols RLE'd (after two
-    consecutive symbols, one byte gives how many MORE follow); freq < 128
-    in one byte, else two bytes big-endian with the top bit set."""
+    """htslib rans_compress_O0 table layout: symbols ascending; on the
+    SECOND of a run of consecutive symbol values, an RLE byte (how many
+    MORE follow implicitly) is written immediately after that symbol
+    byte and BEFORE its frequency; freq < 128 in one byte, else two
+    bytes big-endian with the top bit set; 0 next-symbol terminator."""
     syms = sorted(freqs)
-    i = 0
-    while i < len(syms):
-        run = 0
-        while (i + run + 1 < len(syms)
-               and syms[i + run + 1] == syms[i + run] + 1):
-            run += 1
-        out.append(syms[i])
-        f = freqs[syms[i]]
-        if f >= 128:
-            out.append(0x80 | (f >> 8))
-            out.append(f & 0xFF)
+    rle = 0
+    for idx, s in enumerate(syms):
+        if rle:
+            rle -= 1
         else:
-            out.append(f)
-        if run >= 1:
-            out.append(syms[i] + 1)
-            f = freqs[syms[i] + 1]
-            if f >= 128:
-                out.append(0x80 | (f >> 8))
-                out.append(f & 0xFF)
-            else:
-                out.append(f)
-            out.append(run - 1)
-            for j in range(2, run + 1):
-                f = freqs[syms[i] + j]
-                if f >= 128:
-                    out.append(0x80 | (f >> 8))
-                    out.append(f & 0xFF)
-                else:
-                    out.append(f)
-        i += run + 1
+            out.append(s)
+            if idx and syms[idx - 1] == s - 1:
+                while (idx + rle + 1 < len(syms)
+                       and syms[idx + rle + 1] == syms[idx + rle] + 1):
+                    rle += 1
+                out.append(rle)
+        _write_freq_val(out, freqs[s])
     out.append(0)  # terminator
 
 
@@ -79,33 +71,32 @@ def _read_freq_val(data: bytes, pos: int):
 
 
 def _read_freqs(data: bytes, pos: int):
-    """-> (freqs dict, new pos). Exact mirror of _write_freqs: groups of
-    ascending symbols; after two consecutive symbol values an RLE byte
-    gives how many more follow implicitly. A zero NEXT-symbol byte is the
-    terminator (unambiguous: symbols ascend, so 0 can only open the
-    table)."""
+    """-> (freqs dict, new pos). Mirror of htslib rans_uncompress_O0's
+    table parse: read symbol, freq; if the NEXT byte is symbol+1 (run
+    start) consume that symbol byte plus an RLE byte giving how many
+    more consecutive symbols follow implicitly, whose freqs then stream
+    back-to-back. A zero next-symbol byte is the terminator
+    (unambiguous: symbols ascend, so 0 can only open the table)."""
     freqs: dict[int, int] = {}
-    prev = None
+    rle = 0
     sym = data[pos]
     pos += 1
     while True:
         f, pos = _read_freq_val(data, pos)
         freqs[sym] = f
-        if prev is not None and sym == prev + 1:
+        if rle:
+            rle -= 1
+            sym += 1
+        elif data[pos] == sym + 1:
+            sym = data[pos]
+            pos += 1
             rle = data[pos]
             pos += 1
-            for _ in range(rle):
-                sym += 1
-                f, pos = _read_freq_val(data, pos)
-                freqs[sym] = f
-            prev = None
         else:
-            prev = sym
-        nxt = data[pos]
-        pos += 1
-        if nxt == 0:
-            break
-        sym = nxt
+            sym = data[pos]
+            pos += 1
+            if sym == 0:
+                break
     return freqs, pos
 
 
@@ -223,29 +214,29 @@ def uncompress(data: bytes) -> bytes:
     if order != 1:
         raise NotImplementedError(f"rANS order {order}")
     # order-1: context tables, one per preceding symbol; the context ids
-    # use the same group/RLE scheme as symbols inside a table
+    # use the same RLE scheme as symbols inside a table — the run-length
+    # byte follows the second consecutive context byte, BEFORE its inner
+    # table (htslib rans_uncompress_O1)
     tables = {}
-    prev = None
+    rle = 0
     ctx = data[pos]
     pos += 1
     while True:
         freqs, pos = _read_freqs(data, pos)
         tables[ctx] = _lookup(freqs)
-        if prev is not None and ctx == prev + 1:
+        if rle:
+            rle -= 1
+            ctx += 1
+        elif data[pos] == ctx + 1:
+            ctx = data[pos]
+            pos += 1
             rle = data[pos]
             pos += 1
-            for _ in range(rle):
-                ctx += 1
-                freqs, pos = _read_freqs(data, pos)
-                tables[ctx] = _lookup(freqs)
-            prev = None
         else:
-            prev = ctx
-        nxt = data[pos]
-        pos += 1
-        if nxt == 0:
-            break
-        ctx = nxt
+            ctx = data[pos]
+            pos += 1
+            if ctx == 0:
+                break
     states, pos = _dec_init(data, pos)
     out = bytearray(raw_size)
     q = raw_size >> 2
@@ -306,21 +297,18 @@ def compress_o1(data: bytes) -> bytes:
 
     table_bytes = bytearray()
     ctxs = sorted(tables)
-    i = 0
-    while i < len(ctxs):
-        run = 0
-        while (i + run + 1 < len(ctxs)
-               and ctxs[i + run + 1] == ctxs[i + run] + 1):
-            run += 1
-        table_bytes.append(ctxs[i])
-        _write_freqs(table_bytes, tables[ctxs[i]])
-        if run >= 1:
-            table_bytes.append(ctxs[i] + 1)
-            _write_freqs(table_bytes, tables[ctxs[i + 1]])
-            table_bytes.append(run - 1)
-            for j2 in range(2, run + 1):
-                _write_freqs(table_bytes, tables[ctxs[i + j2]])
-        i += run + 1
+    rle_i = 0
+    for idx, c in enumerate(ctxs):
+        if rle_i:
+            rle_i -= 1
+        else:
+            table_bytes.append(c)
+            if idx and ctxs[idx - 1] == c - 1:
+                while (idx + rle_i + 1 < len(ctxs)
+                       and ctxs[idx + rle_i + 1] == ctxs[idx + rle_i] + 1):
+                    rle_i += 1
+                table_bytes.append(rle_i)
+        _write_freqs(table_bytes, tables[c])
     table_bytes.append(0)
 
     states = [RANS_BYTE_L] * 4

@@ -548,12 +548,13 @@ class RufusPipeline:
         """(name, s1, q1, s2, q2) pair stream for a BAM subject: native
         C++ decoder (thread-pool BGZF inflate + in-C pair matching) with
         the pure-Python reader as fallback/reference."""
+        nb = None
+        got_any = False
         try:
             from ..io import native
 
             nb = native.NativeBam(path, threads=max(self.cfg.threads, 2))
             pad = max(self.cfg.read_pad, 1024)  # never truncate real reads
-            got_any = False
             while True:
                 names, s1, q1, l1, s2, q2, l2 = nb.read_pair_batch(2048, pad)
                 if not names:
@@ -565,14 +566,19 @@ class RufusPipeline:
                            q1[i, :a].tobytes().decode(),
                            s2[i, :b].tobytes().decode(),
                            q2[i, :b].tobytes().decode())
-            nb.close()
             if progress_path:
                 with open(progress_path, "w") as pf:
                     pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
-            del got_any
             return
         except (RuntimeError, OSError):
-            pass
+            # Falling back after pairs were already yielded would replay
+            # the stream from the start and duplicate them — only the
+            # never-started case may fall back to the Python reader.
+            if got_any:
+                raise
+        finally:
+            if nb is not None:
+                nb.close()
         yield from bam.bam_to_paired_fastq(path, progress_path=progress_path)
 
     def _filter_batch(self, buf, keys, f1, f2) -> int:
@@ -664,6 +670,10 @@ class RufusPipeline:
             if not alns:
                 raise RuntimeError("saliva filter removed every read")
         rsam.write_sam(sam_path, alns, self.ref_index())
+        # the reference's user-facing artifact is a coordinate-sorted,
+        # indexed BAM (runRufus.sh:1000-1001) — emit the real thing too
+        rsam.write_bam(cfg.wpath(cfg.subject_stub + ".Mutations.fastq.bam"),
+                       alns, self.ref_index())
         return sam_path
 
     # -- stage 6: assembly --------------------------------------------------
@@ -757,6 +767,10 @@ class RufusPipeline:
             stdin_lines.append("\t".join(f))
         sam_out = cfg.wpath(ns + ".overlap.hashcount.fastq.sam")
         rsam.write_sam(sam_out, alns, self.ref_index())
+        # sorted+indexed contig BAM, the reference's published artifact
+        # (Overlap.shorter.sh:209-218 `samtools sort` + `samtools index`)
+        rsam.write_bam(cfg.wpath(ns + ".overlap.hashcount.fastq.bam"),
+                       alns, self.ref_index())
 
         # MOB alignment
         mob_sam = inter(ns + ".overlap.hashcount.fastq.MOB.sam")
@@ -766,7 +780,13 @@ class RufusPipeline:
             if mob_fasta_path and os.path.exists(mob_fasta_path):
                 mob_ref = fasta.FastaReference(mob_fasta_path)
                 mob_idx = RefIndex({n: mob_ref.seqs[n] for n in mob_ref.names})
-                mob_al = Aligner(mob_idx)
+                # MOB glocal profile: bwa mem -E 0,0 -O 6,6 -d 500 -w 500
+                # -L 0,0 (Overlap.shorter.sh:225) — free gap extension and
+                # free clipping change which MOB alignment wins, gating
+                # checkMob (RUFUS.interpret.cpp:5442-5479)
+                from ..align.aligner import MOB_SCORING
+
+                mob_al = Aligner(mob_idx, scoring=MOB_SCORING)
                 for n in mob_idx.names:
                     f.write(f"@SQ\tSN:{n}\tLN:{mob_idx.lengths[n]}\n")
                 for n, s, q in recs:

@@ -149,6 +149,50 @@ def test_cram_subject_e2e(tmp_path):
     assert fmt["GT"] == "0/1" and fmt["DP"] == "39" and fmt["AO"] == "19"
 
 
+def test_multislice_lzma_matches_bam(tmp_path):
+    """2-slice containers + lzma (method 3) blocks decode byte-equal to
+    the BAM twin (VERDICT r3 Next #8: the two realistic 3.0-reader gaps)."""
+    from rufus_tpu.io import bam, bwaindex
+
+    contigs = bwaindex.load_pac_reference(REF)
+    refs, records = bam.read_bam(os.path.join(TESTRUN, "Child.bam"))
+    names = [r[0] for r in refs]
+    bam_recs = [(r.name, r.flag, r.ref_id, r.pos + 1, r.mapq, r.seq, r.qual)
+                for r in records]
+    path = str(tmp_path / "Child.ms.cram")
+    cram.write_cram(path, names, contigs,
+                    [cram.CramRecord(*r) for r in bam_recs],
+                    slices_per_container=2, method=3)
+    # verify the fixture really contains lzma blocks and 2 slices per
+    # container (otherwise this test pins nothing)
+    import io as _io
+
+    with open(path, "rb") as f:
+        f.read(6 + 20)
+        hdr = cram._read_container_header(f)
+        f.read(hdr["length"])  # skip SAM header container
+        hdr = cram._read_container_header(f)
+        payload = _io.BytesIO(f.read(hdr["length"]))
+        n_slices = 0
+        lzma_blocks = 0
+        pos = 0
+        while payload.tell() < len(payload.getbuffer()):
+            method = payload.getbuffer()[payload.tell()]
+            ctype, _, _ = cram._read_block(payload)
+            if ctype == cram.CT_SLICE_HEADER:
+                n_slices += 1
+            if method == 3:
+                lzma_blocks += 1
+        assert n_slices == 2, n_slices
+        assert lzma_blocks > 0
+    got_names, it = cram.read_cram(path, contigs)
+    got = list(it)
+    assert len(got) == len(bam_recs)
+    for (n, f, ri, p, mq, s, q), g in zip(bam_recs, got):
+        assert (n, f, s, q) == (g.name, g.flag, g.seq, g.qual)
+        assert ri == g.ref_id and p == g.pos
+
+
 def test_small_and_offcut_files(tmp_path):
     """Regression: files whose trailing containers are shorter than the
     header read-ahead (2 records), and record counts that leave a 1-record
