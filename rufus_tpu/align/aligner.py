@@ -26,6 +26,29 @@ MATCH, MISMATCH = 1, -4
 GAP_OPEN, GAP_EXT = 6, 1
 CLIP_PEN = 5
 
+
+@dataclass(frozen=True)
+class Scoring:
+    """Affine-gap scoring profile (bwa-mem parameter set)."""
+
+    match: int = MATCH
+    mismatch: int = MISMATCH
+    gap_open: int = GAP_OPEN
+    gap_ext: int = GAP_EXT
+    clip_pen: int = CLIP_PEN
+    pad: int = 64  # ref-window pad around the candidate diagonal (bwa -w/-d)
+
+
+DEFAULT_SCORING = Scoring()
+
+# The reference aligns contigs against the mobile-element library with a
+# near-glocal profile — `bwa mem -Y -E 0,0 -O 6,6 -d 500 -w 500 -L 0,0`
+# (/root/reference/scripts/Overlap.shorter.sh:225): FREE gap extension,
+# FREE clipping, and a wide band, which changes which MOB alignment wins
+# and therefore the <INS:ME:MOB> evidence (checkMob gates on MOB alignment
+# quality, RUFUS.interpret.cpp:5442-5479).
+MOB_SCORING = Scoring(gap_ext=0, clip_pen=0, pad=500)
+
 _LUT = np.full(256, 255, dtype=np.uint8)
 for _b, _c in zip(b"ACGT", range(4)):
     _LUT[_b] = _c
@@ -272,34 +295,35 @@ def _pack_host(codes: np.ndarray, k: int):
     return acc, ~bad
 
 
-def sw_kernel(q: np.ndarray, r: np.ndarray):
+def sw_kernel(q: np.ndarray, r: np.ndarray, sc: Scoring = DEFAULT_SCORING):
     """Local affine-gap DP: best local score + full H matrix for traceback.
 
     q, r: 2-bit codes (255 = N, never matches). One numpy-vectorized row per
     query base; the horizontal-gap scan uses the closed form
     E[j] = max_{j'<j}(H[j'] + ext*j') - open - ext*j (chaining horizontal
-    gaps is never better than one longer gap, so sources need not include
-    E-derived cells). This is the host mirror of the batched device kernel.
+    gaps is never better than one longer gap — with ext=0 it ties, and one
+    gap still wins — so sources need not include E-derived cells). This is
+    the host mirror of the batched device kernel.
     """
     n, m = len(q), len(r)
     H = np.zeros((n + 1, m + 1), dtype=np.int32)
     best = (0, 0, 0)
     match_all = np.where(
         (q[:, None] == r[None, :]) & (q[:, None] != 255) & (r[None, :] != 255),
-        MATCH, MISMATCH).astype(np.int32)
+        sc.match, sc.mismatch).astype(np.int32)
     NEG = -(10 ** 6)
     F = np.full(m + 1, NEG, dtype=np.int32)
-    j_idx = np.arange(m + 1, dtype=np.int32) * GAP_EXT
+    j_idx = np.arange(m + 1, dtype=np.int32) * sc.gap_ext
     for i in range(1, n + 1):
         prev = H[i - 1]
-        F = np.maximum(F - GAP_EXT, prev - GAP_OPEN - GAP_EXT)
+        F = np.maximum(F - sc.gap_ext, prev - sc.gap_open - sc.gap_ext)
         row = np.zeros(m + 1, dtype=np.int32)
         cand = np.maximum(np.maximum(prev[:-1] + match_all[i - 1], F[1:]), 0)
         row[1:] = cand
         # E via prefix max of (row[j'] + ext*j') over j' < j
         s = row + j_idx
         pref = np.maximum.accumulate(s[:-1])
-        E = pref - GAP_OPEN - GAP_EXT - j_idx[:-1]
+        E = pref - sc.gap_open - sc.gap_ext - j_idx[:-1]
         row[1:] = np.maximum(row[1:], E)
         H[i] = row
         j_best = int(np.argmax(row))
@@ -308,25 +332,29 @@ def sw_kernel(q: np.ndarray, r: np.ndarray):
     return best, H
 
 
-def _traceback(q, r, H, bi, bj):
+def _traceback(q, r, H, bi, bj, sc: Scoring = DEFAULT_SCORING):
     """Recover CIGAR from H by local re-derivation (scores re-computed)."""
     i, j = bi, bj
     ops = []
     nm = 0
     while i > 0 and j > 0 and H[i][j] > 0:
         h = H[i][j]
-        sub = MATCH if (q[i - 1] == r[j - 1] and q[i - 1] != 255 and r[j - 1] != 255) else MISMATCH
+        sub = sc.match if (q[i - 1] == r[j - 1] and q[i - 1] != 255
+                           and r[j - 1] != 255) else sc.mismatch
         if h == H[i - 1][j - 1] + sub:
             ops.append("M")
-            if sub == MISMATCH:
+            if sub == sc.mismatch:
                 nm += 1
             i -= 1
             j -= 1
             continue
-        # horizontal run (D: consume ref); bounded gap search
+        # horizontal run (D: consume ref); bounded gap search — the bound
+        # tracks the scoring window so wide-band profiles (MOB glocal,
+        # pad 500) can recover gaps the band admits
+        gap_max = max(128, 2 * sc.pad)
         found = False
-        for g in range(1, min(j, 128) + 1):
-            if h == H[i][j - g] - GAP_OPEN - GAP_EXT * g:
+        for g in range(1, min(j, gap_max) + 1):
+            if h == H[i][j - g] - sc.gap_open - sc.gap_ext * g:
                 ops.extend("D" * g)
                 nm += g
                 j -= g
@@ -334,8 +362,8 @@ def _traceback(q, r, H, bi, bj):
                 break
         if found:
             continue
-        for g in range(1, min(i, 128) + 1):
-            if h == H[i - g][j] - GAP_OPEN - GAP_EXT * g:
+        for g in range(1, min(i, gap_max) + 1):
+            if h == H[i - g][j] - sc.gap_open - sc.gap_ext * g:
                 ops.extend("I" * g)
                 nm += g
                 i -= g
@@ -358,8 +386,9 @@ def _compress(ops: list[str]) -> list[tuple[int, str]]:
 
 
 class Aligner:
-    def __init__(self, ref: RefIndex):
+    def __init__(self, ref: RefIndex, scoring: Scoring = DEFAULT_SCORING):
         self.ref = ref
+        self.sc = scoring
 
     def _candidates(self, codes: np.ndarray, max_cands: int = 4):
         """Seed -> diagonal clusters -> candidate (gstart, count) windows."""
@@ -392,9 +421,11 @@ class Aligner:
         clusters.sort(key=lambda c: -c[1])
         return clusters[:max_cands]
 
-    def _window(self, seq: str, diag: int, pad: int = 64):
+    def _window(self, seq: str, diag: int, pad: int | None = None):
         """(codes, ref window codes, window global start) for a candidate
         diagonal; None when the window is empty."""
+        if pad is None:
+            pad = self.sc.pad
         codes = encode(np.frombuffer(seq.encode(), np.uint8))
         L = len(codes)
         g0 = max(0, diag - pad)
@@ -404,7 +435,7 @@ class Aligner:
         window = encode(np.asarray(self.ref.genome[g0:g1]))
         return codes, window, g0
 
-    def _extend(self, seq: str, diag: int, pad: int = 64, dp=None):
+    def _extend(self, seq: str, diag: int, pad: int | None = None, dp=None):
         """Align one candidate. `dp` carries a precomputed (H, score,
         bi, bj) from the batched device kernel (sw_device.sw_batch —
         bit-identical to sw_kernel, tests/test_sw_device.py); without it
@@ -415,13 +446,13 @@ class Aligner:
         codes, window, g0 = win
         L = len(codes)
         if dp is None:
-            best, H = sw_kernel(codes, window)
+            best, H = sw_kernel(codes, window, self.sc)
             score, bi, bj = best
         else:
             H, score, bi, bj = dp
         if score <= 0:
             return None
-        qi, rj, ops, nm = _traceback(codes, window, H, bi, bj)
+        qi, rj, ops, nm = _traceback(codes, window, H, bi, bj, self.sc)
         # bwa-mem clip preference: extend (ungapped) to each read end unless
         # the extension scores worse than -CLIP_PEN (bwa-mem zdrop/pen_clip5)
         head_ops, head_nm, d = self._clip_extend(codes, window, qi, rj, -1)
@@ -444,7 +475,7 @@ class Aligner:
         gstart = g0 + rj
         n_ext = len(head_ops) + len(tail_ops)
         n_mm = head_nm + tail_nm
-        score += (n_ext - n_mm) * MATCH + n_mm * MISMATCH
+        score += (n_ext - n_mm) * self.sc.match + n_mm * self.sc.mismatch
         return score, gstart, cigar, nm, qi, bi
 
     def _clip_extend(self, codes, window, q_edge, r_edge, direction):
@@ -469,8 +500,8 @@ class Aligner:
             qs = codes[q_edge : q_edge + n]
             rs = window[r_edge : r_edge + n]
         mm = int(np.sum((qs != rs) | (qs == 255) | (rs == 255)))
-        delta = (n - mm) * MATCH + mm * MISMATCH
-        if delta <= -CLIP_PEN:
+        delta = (n - mm) * self.sc.match + mm * self.sc.mismatch
+        if delta <= -self.sc.clip_pen:
             return [], 0, 0
         return ["M"] * n, mm, n
 
@@ -549,7 +580,7 @@ class Aligner:
             while g1 < len(items) and (est < self.sw_group_budget
                                        or g1 == g0):
                 L = len(items[g1][1])
-                est += 2 * max_cands * (L + 1) * (L + 129) * 4
+                est += 2 * max_cands * (L + 1) * (L + 2 * self.sc.pad + 1) * 4
                 g1 += 1
             out.extend(self._align_group(items[g0:g1], max_cands,
                                          min_score, splits, batch))
@@ -594,7 +625,7 @@ class Aligner:
                     for i, (_, _, _, q, w, _) in enumerate(chunk):
                         qb[i, : len(q)] = q
                         wb[i, : len(w)] = w
-                    H, s, bi, bj = sw_device.sw_batch(qb, wb)
+                    H, s, bi, bj = sw_device.sw_batch(qb, wb, self.sc)
                     for i, (idx, strand, diag, q, w, g0) in enumerate(chunk):
                         # slice H back to the candidate's true dims: 255
                         # padding never matches, so the region is exact

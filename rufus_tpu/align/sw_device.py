@@ -34,8 +34,12 @@ GAP_OPEN, GAP_EXT = 6, 1
 NEG = -(10 ** 6)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m"))
-def _sw_batch(q, r, n: int, m: int):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "m", "match", "mismatch",
+                                    "gap_open", "gap_ext"))
+def _sw_batch(q, r, n: int, m: int, match: int = MATCH,
+              mismatch: int = MISMATCH, gap_open: int = GAP_OPEN,
+              gap_ext: int = GAP_EXT):
     """q: (B, n) codes (255 = N/pad), r: (B, m) codes.
 
     Returns (H (B, n+1, m+1) i32, best_score (B,), best_i (B,),
@@ -44,22 +48,22 @@ def _sw_batch(q, r, n: int, m: int):
     query alone.
     """
     B = q.shape[0]
-    j_idx = jnp.arange(m + 1, dtype=jnp.int32) * GAP_EXT
+    j_idx = jnp.arange(m + 1, dtype=jnp.int32) * gap_ext
 
     def row_step(carry, qi):
         prev, F = carry  # prev: (B, m+1), F: (B, m+1)
         # match scores for this query base against every window base
         sub = jnp.where(
             (qi[:, None] == r) & (qi[:, None] != 255) & (r != 255),
-            MATCH, MISMATCH).astype(jnp.int32)
-        F = jnp.maximum(F - GAP_EXT, prev - GAP_OPEN - GAP_EXT)
+            match, mismatch).astype(jnp.int32)
+        F = jnp.maximum(F - gap_ext, prev - gap_open - gap_ext)
         cand = jnp.maximum(jnp.maximum(prev[:, :-1] + sub, F[:, 1:]), 0)
         row = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32), cand], axis=1)
         # E via running max of row[j'] + ext*j' over j' < j
         s = row + j_idx[None, :]
         pref = jax.lax.cummax(s[:, :-1], axis=1)
-        E = pref - GAP_OPEN - GAP_EXT - j_idx[None, :-1]
+        E = pref - gap_open - gap_ext - j_idx[None, :-1]
         row = row.at[:, 1:].set(jnp.maximum(row[:, 1:], E))
         return (row, F), row
 
@@ -78,7 +82,7 @@ def _sw_batch(q, r, n: int, m: int):
     return H, best_score, best_i, best_j
 
 
-def sw_batch(q_codes: np.ndarray, r_codes: np.ndarray):
+def sw_batch(q_codes: np.ndarray, r_codes: np.ndarray, scoring=None):
     """Batched DP: (B, n) x (B, m) uint8 codes -> (H, score, bi, bj) as
     numpy arrays. See module docstring for the exactness contract.
 
@@ -89,5 +93,10 @@ def sw_batch(q_codes: np.ndarray, r_codes: np.ndarray):
     q = jnp.asarray(q_codes, jnp.uint8)
     r = jnp.asarray(r_codes, jnp.uint8)
     n, m = q.shape[1], r.shape[1]
-    H, s, bi, bj = _sw_batch(q.astype(jnp.int32), r.astype(jnp.int32), n=n, m=m)
+    kw = {}
+    if scoring is not None:
+        kw = dict(match=scoring.match, mismatch=scoring.mismatch,
+                  gap_open=scoring.gap_open, gap_ext=scoring.gap_ext)
+    H, s, bi, bj = _sw_batch(q.astype(jnp.int32), r.astype(jnp.int32), n=n, m=m,
+                             **kw)
     return (np.asarray(H), np.asarray(s), np.asarray(bi), np.asarray(bj))

@@ -230,3 +230,147 @@ def bam_to_single_fastq(path: str, exclude_flags: int = DEFAULT_EXCLUDE,
             seq = revcomp_bytes(seq.encode()).decode()
             qual = qual[::-1]
         yield r.name, seq, qual
+
+
+# ---------------------------------------------------------------------------
+# BAM writer + BAI index (the inverse of _parse_records)
+# ---------------------------------------------------------------------------
+# The reference's user-facing artifacts are coordinate-sorted, indexed BAMs
+# (runRufus.sh:1000-1001; Overlap.shorter.sh:209-218 `samtools sort/index`).
+# Encoded through the existing BGZF writer (io/bgzf.py); BAI per SAMv1 §5.2.
+
+_SEQ_CODE = {b: i for i, b in enumerate(SEQ_CODES)}
+_CIG_CODE = {op: i for i, op in enumerate(CIGAR_OPS)}
+
+
+def _enc_tags(tags) -> bytes:
+    """Encode simple SAM text tags ('NM:i:3', 'AS:i:40', 'SA:Z:...')."""
+    out = bytearray()
+    for t in tags or ():
+        tag, typ, val = t.split(":", 2)
+        out += tag.encode()
+        if typ == "i":
+            out += b"i" + struct.pack("<i", int(val))
+        elif typ == "Z":
+            out += b"Z" + val.encode() + b"\x00"
+        elif typ == "A":
+            out += b"A" + val[:1].encode()
+        elif typ == "f":
+            out += b"f" + struct.pack("<f", float(val))
+        else:
+            raise ValueError(f"unsupported tag type {typ}")
+    return bytes(out)
+
+
+def encode_record(rec, tags: bytes = b"") -> bytes:
+    """One alignment block (without the leading block_size i32).
+
+    rec: BamRecord-like (name, flag, ref_id, pos, mapq, cigar, seq, qual,
+    next_ref_id, next_pos, tlen)."""
+    from .bgzf import _reg2bin
+
+    name_b = rec.name.encode() + b"\x00"
+    cigar = rec.cigar or []
+    ref_span = sum(n for n, op in cigar if op in "MDN=X")
+    if rec.ref_id >= 0 and rec.pos >= 0:
+        rbin = _reg2bin(rec.pos, rec.pos + max(1, ref_span))
+    else:
+        rbin = 4680  # reg2bin(-1, 0) convention for unplaced reads
+    seq = rec.seq if rec.seq != "*" else ""
+    l_seq = len(seq)
+    body = bytearray()
+    body += struct.pack("<iiBBHHHiiii", rec.ref_id, rec.pos, len(name_b),
+                        rec.mapq, rbin, len(cigar), rec.flag, l_seq,
+                        getattr(rec, "next_ref_id", -1),
+                        getattr(rec, "next_pos", -1),
+                        getattr(rec, "tlen", 0))
+    body += name_b
+    for n, op in cigar:
+        body += struct.pack("<I", (n << 4) | _CIG_CODE[op])
+    nyb = bytearray((l_seq + 1) // 2)
+    for i, ch in enumerate(seq):
+        code = _SEQ_CODE.get(ch.upper(), 15)
+        if i % 2 == 0:
+            nyb[i // 2] = code << 4
+        else:
+            nyb[i // 2] |= code
+    body += nyb
+    if rec.qual == "*" or not rec.qual:
+        body += b"\xff" * l_seq
+    else:
+        body += bytes((ord(q) - 33) & 0xFF for q in rec.qual[:l_seq])
+    body += tags
+    return bytes(body)
+
+
+def write_bam(path: str, refs, records, header_text: str | None = None,
+              tags_for=None, index: bool = True):
+    """Write a BAM (+ .bai when index=True and input is coordinate-sorted).
+
+    refs: list of (name, length). records: iterable of BamRecord-likes in
+    coordinate order (mapped first, unplaced ref_id=-1 last). tags_for:
+    optional callable rec -> tag bytes (use _enc_tags)."""
+    from .bgzf import BgzfWriter, _reg2bin
+
+    if header_text is None:
+        header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+            f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
+    w = BgzfWriter(path)
+    text = header_text.encode()
+    w.write(b"BAM\x01" + struct.pack("<i", len(text)) + text)
+    w.write(struct.pack("<i", len(refs)))
+    for n, l in refs:
+        nb = n.encode() + b"\x00"
+        w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", l))
+
+    # BAI accumulators
+    n_ref = len(refs)
+    bins = [dict() for _ in range(n_ref)]      # bin -> [[beg, end], ...]
+    intv = [dict() for _ in range(n_ref)]      # window -> min voffset
+    n_unplaced = 0
+    for rec in records:
+        tags = tags_for(rec) if tags_for else b""
+        block = encode_record(rec, tags)
+        v0 = w.tell_virtual()
+        w.write(struct.pack("<i", len(block)) + block)
+        v1 = w.tell_virtual()
+        if rec.ref_id < 0:
+            n_unplaced += 1
+            continue
+        span = sum(n for n, op in (rec.cigar or []) if op in "MDN=X")
+        end = rec.pos + max(1, span)
+        b = _reg2bin(rec.pos, end)
+        chunks = bins[rec.ref_id].setdefault(b, [])
+        if chunks and chunks[-1][1] == v0:
+            chunks[-1][1] = v1  # merge adjacent chunks
+        else:
+            chunks.append([v0, v1])
+        for win in range(rec.pos >> 14, ((end - 1) >> 14) + 1):
+            cur = intv[rec.ref_id].get(win)
+            if cur is None or v0 < cur:
+                intv[rec.ref_id][win] = v0
+    w.close()
+
+    if index:
+        with open(path + ".bai", "wb") as f:
+            f.write(b"BAI\x01" + struct.pack("<i", n_ref))
+            for r in range(n_ref):
+                f.write(struct.pack("<i", len(bins[r])))
+                for b in sorted(bins[r]):
+                    ch = bins[r][b]
+                    f.write(struct.pack("<Ii", b, len(ch)))
+                    for beg, endv in ch:
+                        f.write(struct.pack("<QQ", beg, endv))
+                if intv[r]:
+                    n_intv = max(intv[r]) + 1
+                    f.write(struct.pack("<i", n_intv))
+                    last = 0
+                    for win in range(n_intv):
+                        v = intv[r].get(win)
+                        if v is not None:
+                            last = v
+                        f.write(struct.pack("<Q", last))
+                else:
+                    f.write(struct.pack("<i", 0))
+            f.write(struct.pack("<Q", n_unplaced))
+    return path

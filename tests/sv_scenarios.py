@@ -42,6 +42,17 @@ def synthetic_reference():
             "2": rng.choice(bases, size=60000)}
 
 
+def mob_library():
+    """Synthetic mobile-element library (the primate_non-LTR fasta role).
+    Seeded distinct from the genome so MOB hits come only from planted
+    content."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    return {"L1HS": rng.choice(bases, size=6000)}
+
+
 def build_scenario(tmp_path, kind: str):
     """Returns (contigs_dict, stdin_lines, wpath, par_alt, par_ref)."""
     from rufus_tpu.assembly import annotate
@@ -96,6 +107,21 @@ def build_scenario(tmp_path, kind: str):
         # to the LargeInsert branch
         specs = [node(0, gA[P - 300 : P] + gB[Q : Q + 300]),
                  node(1, "A" * 30 + gA[P : P + 300])]
+    elif kind == "mobglocal":
+        # MOB insert whose element content is two SHORT (25bp) L1HS
+        # segments eliding 400bp of the element: only the reference's MOB
+        # scoring profile (bwa mem -E 0,0 -O 6,6 -w 500 -L 0,0,
+        # Overlap.shorter.sh:225 — free gap extension, wide band) bridges
+        # the 400bp deletion for score 2*25-6=44; under bwa-mem DEFAULTS
+        # the gap costs 406 and the best local hit is a single 25bp
+        # segment scoring 25 < min_score 30 -> NO MOB alignment at all.
+        # MOB.sam is generated by OUR aligner (below), not hand-written,
+        # so this fixture probes the scoring preset itself.
+        l1 = mob_library()["L1HS"].tobytes().decode()
+        insert = l1[1000:1025] + l1[1425:1450]
+        specs = [node(0, gA[P - 300 : P] + insert),
+                 node(1, "A" * 30 + gA[P : P + 300])]
+        mob_lines = [("ALIGN", specs[0][0], 0)]
     elif kind == "orphanmob":
         # single MOB-aligned split contig with no polyA partner -> orphan
         # single-contig MOB branch
@@ -188,6 +214,20 @@ def build_scenario(tmp_path, kind: str):
         f.write("@HD\tVN:1.6\tSO:coordinate\n")
         f.write("@SQ\tSN:L1HS\tLN:6000\n")
         for base_name, rname, pos in mob_lines:
+            if base_name == "ALIGN":
+                # mobglocal: MOB.sam comes from OUR aligner with the MOB
+                # glocal scoring preset (driver.py stage_contig_align path)
+                from rufus_tpu.align.aligner import MOB_SCORING
+
+                full = next(l.split("\t")[0] for l in lines
+                            if l.startswith(rname))
+                seq = dict(specs)[rname]
+                mal = Aligner(RefIndex(mob_library()), scoring=MOB_SCORING)
+                a = mal.align_seq(full, seq, "I" * len(seq))[0]
+                if not a.is_unmapped:
+                    f.write(rsam.to_sam_line(a, tags=f"AS:i:{a.score}")
+                            + "\n")
+                continue
             # the mob half of the contig maps to the element with a strong
             # score; qname must be the FULL stdin name (with :MH/:SA=
             # suffixes) and seq must not be a homopolymer (MobAllA filter,

@@ -25,9 +25,15 @@ import pytest
 GOLD = os.path.join(os.path.dirname(__file__), "golden", "assembly")
 NS = "Child.bam.generator.V2"
 
-needs_fixtures = pytest.mark.skipif(
-    not os.path.exists(os.path.join(GOLD, "input.sam")),
-    reason="assembly differential fixtures absent")
+# fixture absence is a hard FAILURE, not a skip: these are the strongest
+# parity evidence and a silent skip would mask their loss. Regenerate with
+# `python tools/regen_goldens.py assembly` (builds the reference tools via
+# tools/build_reference_tools.sh).
+if not os.path.exists(os.path.join(GOLD, "input.sam")):
+    raise RuntimeError(
+        "assembly differential fixtures missing from tests/golden/assembly/ "
+        "— run `python tools/regen_goldens.py assembly` to rebuild them")
+needs_fixtures = pytest.mark.skipif(False, reason="")
 
 
 def _read(path):
