@@ -126,18 +126,26 @@ def _rle_compact_hilo(h, l, counts, cap: int):
     """RLE sorted (hi, lo) u32 key planes and compact the run heads into
     width-`cap` outputs (SENTINEL-plane padded, still sorted).
 
-    counts=None means every element contributes 1 (raw keys): run sums are
-    run LENGTHS, read off the next-head scan with no cumsum-gather. With
-    counts, run sums come from a cumsum difference (ops.count.rle_sum).
+    counts=None means every element contributes 1 (raw keys); otherwise
+    per-element i32 counts are summed per run.
+
+    Run sums are PREFIX-CODED through the compaction instead of gathered:
+    each head carries the exclusive WRAPPING-u32 prefix sum of counts at
+    its position; after compaction, consecutive heads' prefixes differ by
+    exactly the run total (exact under u32 wraparound while any single
+    run's sum < 2^32), recovered with one elementwise shift-subtract.
+    This removes an O(n) variable-index gather — measured 19 ns/element
+    at the 8.4M fold size on v5e, 3x the cost of the compaction itself —
+    plus the flip-cummin next-head scan and the i64 cumsum.
 
     Two compaction paths, identical (exact) output:
     * TPU + big-enough shapes: the Pallas streaming kernel
       (ops/pallas_fold.py) — one pass of in-VMEM per-block sorting with
       carry-chained running-offset DMA writes, ~2.2x faster than
       re-sorting at the 48M pending size.
-    * otherwise: sort of (key planes, i32 sums) — run heads keep their
-      key, non-heads become SENTINEL planes, and the sort moves the
-      holes to the tail so truncation to cap is lossless. (A
+    * otherwise: sort of (key planes, prefix plane) — run heads keep
+      their key, non-heads become SENTINEL planes, and the sort moves
+      the holes to the tail so truncation to cap is lossless. (A
       cumsum+scatter compaction is ~5x slower: XLA lowers large
       variable-index scatters near-serially, ~9M el/s measured on v5e.)
 
@@ -146,31 +154,43 @@ def _rle_compact_hilo(h, l, counts, cap: int):
     n = h.shape[0]
     neq = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
     head = jnp.concatenate([jnp.ones((1,), bool), neq])
-    idx = jnp.arange(n, dtype=jnp.int32)
     is_sent = (h == _U32_ONES) & (l == _U32_ONES)
     valid = head & ~is_sent
-    marks = jnp.where(head, idx, jnp.int32(n))
-    nxt_ge = jnp.flip(jax.lax.cummin(jnp.flip(marks)))
-    nxt = jnp.concatenate([nxt_ge[1:], jnp.full((1,), n, jnp.int32)])
     if counts is None:
-        sums = nxt - idx  # run lengths, i32
+        # exclusive prefix of all-ones counts == the index itself
+        pref = jnp.arange(n, dtype=jnp.uint32)
+        total = jnp.uint32(n)
     else:
-        c = jnp.cumsum(counts.astype(jnp.int64))
-        c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int64), c[:-1]])
-        end = jnp.minimum(nxt, n) - 1
-        sums = (c[end] - c_prev).astype(jnp.int32)
+        cu = counts.astype(jnp.uint32)
+        inc = jnp.cumsum(cu)  # wrapping u32 prefix
+        pref = jnp.concatenate([jnp.zeros((1,), jnp.uint32), inc[:-1]])
+        total = inc[-1]
     uh = jnp.where(valid, h, _U32_ONES)
     ul = jnp.where(valid, l, _U32_ONES)
-    us = jnp.where(valid, sums, 0)
+    us = jnp.where(valid, pref, 0)
+
+    def _diff_sums(oc_u32, slots):
+        idx_o = jnp.arange(oc_u32.shape[0], dtype=jnp.int32)
+        nxt = jnp.concatenate([oc_u32[1:], jnp.zeros((1,), jnp.uint32)])
+        nxt = jnp.where(idx_o + 1 == slots, total, nxt)
+        d = nxt - oc_u32  # wrapping difference = exact run sum < 2^32
+        d = jnp.minimum(d, jnp.uint32(2**31 - 1)).astype(jnp.int32)
+        return jnp.where(idx_o < slots, d, 0)
+
     from ..ops import pallas_fold
 
     if (jax.default_backend() == "tpu" and cap % 128 == 0
             and cap >= pallas_fold.BLKC and n >= pallas_fold.BLKC):
         oh, ol, oc, slots, _ = pallas_fold.compact_sorted_hilo(
             uh, ul, us.astype(jnp.int32), cap)
-        return oh, ol, oc, slots.astype(jnp.int64)
-    uh, ul, us = jax.lax.sort((uh, ul, us), num_keys=2)
-    return uh[:cap], ul[:cap], us[:cap], valid.sum(dtype=jnp.int64)
+        sums = _diff_sums(oc.astype(jnp.uint32), slots)
+        return oh, ol, sums, slots.astype(jnp.int64)
+    us32 = us.astype(jnp.int32)
+    uh, ul, us32 = jax.lax.sort((uh, ul, us32), num_keys=2)
+    nv = valid.sum(dtype=jnp.int64)
+    sums = _diff_sums(us32[:cap].astype(jnp.uint32),
+                      jnp.minimum(nv, cap).astype(jnp.int32))
+    return uh[:cap], ul[:cap], sums, nv
 
 
 def _route_segments(owner, planes, fills, n_shards: int, capacity: int):
@@ -239,6 +259,38 @@ def _bucket_by_owner(keys_flat, owner, n_shards: int, capacity: int,
 # ---------------------------------------------------------------------------
 
 
+# pre-exchange routing closures, stashed per step configuration for the
+# scaling harness's phase probes (tools/scaling.py)
+_LOCAL_ROUTE_FNS: dict = {}
+
+
+def _count_local_probe(mesh, k: int, capacity: int, route_cap: int):
+    """Jitted encode+collapse+route-sort WITHOUT the all_to_all — the
+    scaling harness times this against the full step to attribute the
+    exchange cost. For 1-device meshes (no routing) this is just the
+    fused encode."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    if n == 1:
+        from ..ops import pallas_count
+
+        def enc(reads):
+            hi, lo = pallas_count.encode_canon_hilo_xla(reads, k)
+            return hi.ravel()[None]
+
+        return jax.jit(shard_map(enc, mesh=mesh, in_specs=P(axis),
+                                 out_specs=P(axis), check_vma=False))
+    _sharded_count_step(mesh, k, capacity, route_cap)  # registers the fn
+    fn = _LOCAL_ROUTE_FNS[(mesh, k, capacity, route_cap)]
+
+    def probe(reads):
+        bins, bc, dropped = fn(reads)
+        return bins[None]
+
+    return jax.jit(shard_map(probe, mesh=mesh, in_specs=P(axis),
+                             out_specs=P(axis), check_vma=False))
+
+
 def sharded_count_step(mesh, k: int, capacity: int, route_cap: int | None = None):
     """(global reads (B, L) uint8, data-sharded) -> per-shard RAW routed
     keys for the shard's k-mer hash partition, as
@@ -294,7 +346,7 @@ def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
 
         return run
 
-    def local(reads):
+    def _local_route(reads):
         from ..ops import pallas_count
 
         B = reads.shape[0]
@@ -325,6 +377,10 @@ def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
             owner, (hi, lo, run_len), (_U32_ONES, _U32_ONES, jnp.int32(0)),
             n, route_cap)
         bins = (bh.astype(jnp.uint64) << jnp.uint64(32)) | bl.astype(jnp.uint64)
+        return bins, bc, dropped
+
+    def local(reads):
+        bins, bc, dropped = _local_route(reads)
         # exchange: shard i sends bins[j] to shard j; counts ride along.
         bins = jax.lax.all_to_all(bins[None], axis, split_axis=1,
                                   concat_axis=0, tiled=False)
@@ -337,6 +393,8 @@ def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
         # multi-process mesh
         dropped = jax.lax.psum(dropped, axis)
         return keys, cnts, nn[None], dropped
+
+    _LOCAL_ROUTE_FNS[(mesh, k, capacity, route_cap)] = _local_route
 
     f = jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
                           out_specs=(P(axis), P(axis), P(axis), P()),
