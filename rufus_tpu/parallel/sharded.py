@@ -599,7 +599,9 @@ def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int):
         back = back.reshape(n, route_cap)
         got_sorted = jnp.where(ok, back[row, col], 0)
         out = jnp.zeros(q.shape, dtype=back.dtype).at[order].set(got_sorted)
-        return (out.reshape(queries.shape)[None],
+        # local block is (1, Q); the shard axis is already the leading
+        # queries dim — no extra wrap, global result is (S, Q)
+        return (out.reshape(queries.shape),
                 jax.lax.psum(dropped, axis))
 
     f = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),

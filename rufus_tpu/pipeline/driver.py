@@ -242,28 +242,37 @@ class RufusPipeline:
         if stream is None:
             stream = self._prefetch(
                 self._batch_stream(path, progress_path=progress_path))
-        while True:
+        # Lossless routing with PER-BATCH retry: every batch's dropped
+        # counter is checked with a one-batch lag (so the fetch overlaps
+        # the next batch's dispatch) and only the offending batch is
+        # re-dispatched at a doubled route_cap — a hot batch no longer
+        # costs a whole re-decode of the sample (round-3 weak #4). Folding
+        # is deferred until a batch's check clears, so a dropped key can
+        # never reach the table.
+        dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
+
+        def settle(entry):
+            bk, bc, dr, reads_d = entry
+            while int(np.asarray(dr).sum()) != 0:
+                self._route_cap *= 2
+                self._log(f"count[{stub}]: routing bins overflowed; "
+                          f"retrying batch with route_cap={self._route_cap}")
+                retry_step = sharded_count_step(mesh, cfg.k, bcap,
+                                                self._route_cap)
+                bk, bc, _, dr = retry_step(reads_d)
+            dev.fold_batch(bk, bc)
+
+        inflight = None
+        for seq in stream:
             step = sharded_count_step(mesh, cfg.k, bcap, self._route_cap)
-            dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
-            dropped = []
-            for seq in stream:
-                bk, bc, _, dr = step(
-                    jax.device_put(jnp.asarray(seq), sharding))
-                dev.fold_batch(bk, bc)
-                dropped.append(dr)
-                meter.add(seq.shape[0])
-            # lossless routing guarantee: any key that overflowed a
-            # route bin was counted (not silently lost); grow + redo the
-            # sample, like ShardedKmerTable._grow for table overflow.
-            # The sum is checked once per sample, off the hot loop.
-            n_dropped = int(sum(int(np.asarray(d).sum()) for d in dropped))
-            if n_dropped == 0:
-                break
-            self._route_cap *= 2
-            self._log(f"count[{stub}]: {n_dropped} keys overflowed routing "
-                      f"bins; retrying with route_cap={self._route_cap}")
-            stream = self._prefetch(
-                self._batch_stream(path, progress_path=progress_path))
+            reads_d = jax.device_put(jnp.asarray(seq), sharding)
+            bk, bc, _, dr = step(reads_d)
+            if inflight is not None:
+                settle(inflight)
+            inflight = (bk, bc, dr, reads_d)
+            meter.add(seq.shape[0])
+        if inflight is not None:
+            settle(inflight)
         if not bam.stream_complete(progress_path):
             raise RuntimeError(
                 f"count stream for {path} ended without the completion "
@@ -732,6 +741,39 @@ class RufusPipeline:
 
     # -- stage 7: contig alignment + genotyping pulls ----------------------
 
+    def _routed_query(self, dev, kmers: np.ndarray) -> np.ndarray:
+        """Genotyping lookups routed to owner shards (the pod-scale
+        replacement for the backgrounded `jellyfish query` pulls,
+        Overlap.shorter.sh:265-303): bucket queries by owner hash,
+        all_to_all, local searchsorted on each shard's resident slice,
+        all_to_all back — the sample's table is never gathered to host.
+        Lossless: routing-bin overflow is detected and retried with a
+        doubled per-peer capacity."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import route_capacity, sharded_query_step
+
+        cfg = self.cfg
+        n = self.n_devices
+        Q = len(kmers)
+        qcap = max(128, -(-Q // (128 * n)) * 128)  # per-device query width
+        padded = np.full(n * qcap, count.SENTINEL, np.uint64)
+        padded[:Q] = kmers
+        sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
+        q_dev = jax.device_put(jnp.asarray(padded.reshape(n, qcap)), sh)
+        rcap = route_capacity(qcap, n)
+        while True:
+            step = sharded_query_step(self.mesh, cfg.k, qcap, rcap)
+            out, dropped = step(q_dev, dev.keys, dev.counts)
+            if int(np.asarray(dropped).sum()) == 0:
+                break
+            rcap *= 2
+            self._log(f"routed query overflowed bins; retrying with "
+                      f"route_cap={rcap}")
+        return np.asarray(out).ravel()[:Q]
+
     def stage_contig_align(self, contigs_path: str, tables):
         cfg = self.cfg
         ns = cfg.name_stub
@@ -818,11 +860,18 @@ class RufusPipeline:
                 for s, c in zip(codec.kmers_to_strs(t.keys, cfg.k), t.counts):
                     f.write(f"{s} {c}\n")
 
-        def pull(tab_path, table, out):
+        def pull(tab_path, table, out, stub=None):
             strs = [l.split()[0] for l in open(tab_path)]
             if strs:
                 canon = [codec.canonical_str(s) for s in strs]
-                cnts = table.query(codec.strs_to_kmers(canon, cfg.k))
+                km = codec.strs_to_kmers(canon, cfg.k)
+                dev = self._dev_tables.get(stub) if stub else None
+                if dev is not None:
+                    # device-resident table: route queries to owner
+                    # shards — no host gather of the table, ever
+                    cnts = self._routed_query(dev, km)
+                else:
+                    cnts = table.query(km)
             else:
                 cnts = []
             with open(out, "w") as f:
@@ -832,15 +881,15 @@ class RufusPipeline:
 
         subj_alt = inter(ns + ".overlap.asembly.hash.fastq.sample")
         subj_ref = inter(ns + ".overlap.asembly.hash.fastq.Ref.sample")
-        pull(tab_alt, tables["subject"], subj_alt)
-        pull(tab_ref, tables["subject"], subj_ref)
+        pull(tab_alt, tables["subject"], subj_alt, stub=cfg.subject_stub)
+        pull(tab_ref, tables["subject"], subj_ref, stub=cfg.subject_stub)
         par_alt_paths, par_ref_paths = [], []
         for c, t in zip(cfg.controls, tables["controls"]):
             stub = cfg.control_stub(c)
             pa = inter(f"{ns}.overlap.asembly.hash.fastq.{stub}.Jhash")
             pr = inter(f"{ns}.overlap.asembly.hash.fastq.Ref.{stub}.Jhash")
-            pull(tab_alt, t, pa)
-            pull(tab_ref, t, pr)
+            pull(tab_alt, t, pa, stub=stub)
+            pull(tab_ref, t, pr, stub=stub)
             par_alt_paths.append(pa)
             par_ref_paths.append(pr)
 

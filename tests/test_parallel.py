@@ -252,3 +252,40 @@ def test_sharded_table_grows_on_overflow():
     want = _host_table(reads, k)
     np.testing.assert_array_equal(host.keys, want.keys)
     np.testing.assert_array_equal(host.counts, want.counts)
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_routed_pipeline_pull_matches_host_query(n_dev):
+    """The pipeline's genotyping pull (driver._routed_query) routed to
+    owner shards returns exactly what a host gather + KmerTable.query
+    would — at every shard count, with the table never leaving the
+    devices (VERDICT r3 next #3). Mixed present/absent queries, plus a
+    width that exercises query padding."""
+    from rufus_tpu.pipeline.driver import RufusPipeline
+
+    k = 13
+    B, L = 16 * 8, 48
+    rng = np.random.default_rng(7)
+    reads = rng.choice(BASES, size=(B, L))
+    mesh = make_mesh(n_dev)
+    dev = _build_sharded(mesh, reads, k, cap=B * (L - k + 1), batches=4)
+    host = dev.to_host()
+
+    class _Cfg:
+        pass
+
+    probe = RufusPipeline.__new__(RufusPipeline)
+    probe.cfg = _Cfg()
+    probe.cfg.k = k
+    probe.mesh = mesh
+    probe.n_devices = n_dev
+    probe._log = lambda *a, **kw: None
+
+    present = host.keys[:: max(1, len(host.keys) // 300)].astype(np.uint64)
+    absent = np.setdiff1d(
+        rng.integers(0, 1 << (2 * k), size=100, dtype=np.uint64), host.keys)
+    queries = np.concatenate([present, absent])
+    got = RufusPipeline._routed_query(probe, dev, queries)
+    want = host.query(queries)
+    np.testing.assert_array_equal(np.asarray(got), want)

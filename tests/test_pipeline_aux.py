@@ -222,3 +222,38 @@ def test_clean_purges_intermediates(tmp_path):
     assert n == len(purge)
     assert keep.exists()
     assert not any(p.exists() for p in purge)
+
+
+def test_count_sample_per_batch_overflow_retry(tmp_path):
+    """Routing-bin overflow retries ONLY the offending batch at a doubled
+    route_cap (round-3 weak #4: previously the whole sample re-streamed),
+    and the final table is exact despite the overflow."""
+    import jax
+
+    from rufus_tpu.ops import count
+    from rufus_tpu.pipeline import RufusConfig
+    from rufus_tpu.pipeline.driver import RufusPipeline
+    from rufus_tpu.io import bam
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = RufusConfig(subject="synthetic.bam", controls=[], ref="unused.fa",
+                      k=13, workdir=str(tmp_path), batch_size=64,
+                      read_pad=48)
+    p = RufusPipeline(cfg)
+    assert p.n_devices == 8
+    p._route_cap = 32  # force per-peer overflow on the first batch
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    batches = [rng.choice(bases, size=(64, 48)) for _ in range(3)]
+    with open(cfg.wpath("S.Jelly.chr"), "w") as f:
+        f.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
+
+    table = p.count_sample("synthetic.bam", "S", lower=1,
+                           stream=iter(batches))
+    assert p._route_cap > 32, "expected at least one per-batch retry"
+    seqs = [r.tobytes().decode() for b in batches for r in b]
+    want = count.KmerTable.from_strings(13, seqs, canonical=True)
+    np.testing.assert_array_equal(table.keys, want.keys)
+    np.testing.assert_array_equal(table.counts, want.counts)

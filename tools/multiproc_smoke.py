@@ -4,7 +4,8 @@
 Everything else in the repo exercises a single-process mesh; real pods
 span processes, where collectives ride DCN and every array is only
 partially addressable. This script runs the count -> fold -> subtract
-chain on a 2-process x 4-virtual-CPU-device mesh via
+chain on a 4-process x 2-virtual-CPU-device mesh (SMOKE_PROCS
+overrides the process count) via
 jax.distributed.initialize, asserting exact parity with the
 single-device host build — proving the process-spanning all_to_all
 codepath compiles and keeps the table deterministic.
@@ -18,8 +19,8 @@ import os
 import subprocess
 import sys
 
-N_PROC = 2
-DEV_PER_PROC = 4
+N_PROC = int(os.environ.get("SMOKE_PROCS", "4"))
+DEV_PER_PROC = 2
 PORT = 17733
 
 
@@ -105,7 +106,31 @@ def worker(rank: int):
     ref = ref[(sc >= 5) & (sc <= 10000)]
     assert np.array_equal(got, ref), (len(got), len(ref))
     assert set(want_mut) <= set(got.tolist())
-    print(f"rank {rank}: parity ok, {len(got)} mutant kmers", flush=True)
+
+    # routed genotype query across processes: look up a mix of present +
+    # absent k-mers against the subject's device-resident table and
+    # compare with the host table (the pipeline pull path,
+    # driver._routed_query semantics)
+    from rufus_tpu.parallel import sharded_query_step
+
+    qcap = 128
+    queries = np.full((n_dev, qcap), count.SENTINEL, np.uint64)
+    probe = np.concatenate([ref[: qcap // 2],
+                            np.arange(1, qcap, dtype=np.uint64)])[: qcap]
+    for d in range(n_dev):
+        queries[d, : len(probe)] = probe
+    ql = jnp.asarray(queries[rank * DEV_PER_PROC:(rank + 1) * DEV_PER_PROC])
+    qg = jax.make_array_from_process_local_data(sharding, ql, queries.shape)
+    qstep = sharded_query_step(mesh, k, qcap)
+    out, dropped = qstep(qg, tables[0].keys, tables[0].counts)
+    assert int(np.asarray(dropped).sum()) == 0
+    out_g = np.asarray(multihost_utils.process_allgather(out, tiled=True))
+    assert out_g.shape == (n_dev, qcap), out_g.shape
+    want_q = tabs_host[0].query(probe)
+    for d in range(n_dev):
+        assert np.array_equal(out_g[d, : len(probe)], want_q), d
+    print(f"rank {rank}: parity ok, {len(got)} mutant kmers, "
+          f"routed query ok", flush=True)
 
 
 def main():
