@@ -125,20 +125,38 @@ def main():
     count_rps = B * ITERS / count_dt
     n_unique = int(np.asarray(table.n_unique).max())
 
-    # measured bandwidth of the dominant primitive: lax.sort over the
-    # pending buffer's u32 key planes at its actual flush size
-    pend = min(48 << 20, (B * (L - K + 1)) * ITERS)
+    # measured cost of the dominant primitives at the actual flush size:
+    # the pending sort (lax.sort over u32 key planes) and the streaming
+    # RLE compaction, plus comparator-bound evidence (single-key and
+    # batched-row variants bracket what ANY sort restructure could gain)
+    pend = (B * (L - K + 1)) * ITERS
     hs = jax.device_put(jnp.asarray(
         rng.integers(0, 1 << 32, pend, np.uint32)))
     ls = jax.device_put(jnp.asarray(
         rng.integers(0, 1 << 32, pend, np.uint32)))
+
+    def timeit(f, *a, n=3):
+        float(jnp.asarray(f(*a)[0]).ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = f(*a)
+        float(jnp.asarray(out[0]).ravel()[0])
+        return (time.perf_counter() - t0) / n
+
     srt = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2))
-    float(jnp.asarray(srt(hs, ls)[0]).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out_s = srt(hs, ls)
-    float(jnp.asarray(out_s[0]).ravel()[0])
-    sort_dt = (time.perf_counter() - t0) / 3
+    sort_dt = timeit(srt, hs, ls)
+    srt1 = jax.jit(lambda a: jax.lax.sort((a,), num_keys=1))
+    sort1_dt = timeit(srt1, hs)
+    rows = pend // 8192
+    srtb = jax.jit(lambda a, b: jax.lax.sort(
+        (a.reshape(rows, 8192), b.reshape(rows, 8192)), num_keys=2,
+        dimension=1))
+    sortb_dt = timeit(srtb, hs, ls)
+    from rufus_tpu.parallel.sharded import _rle_compact_hilo
+
+    hs_s, ls_s = srt(hs, ls)
+    cmp_f = jax.jit(lambda a, b: _rle_compact_hilo(a, b, None, 1 << 22))
+    compact_dt = timeit(cmp_f, hs_s, ls_s)
     lg = int(np.ceil(np.log2(pend)))
     sort_passes_pend = lg * (lg + 1) // 2
     sort_gbps = sort_passes_pend * pend * 8 * 2 / sort_dt / 1e9
@@ -184,6 +202,29 @@ def main():
     filter_dt = time.perf_counter() - t0
     filter_rps = B * ITERS / filter_dt
 
+    # ---- count with OVERLAPPED h2d: stage batch i+1 while batch i's
+    # step runs (the production double-buffer; the pre-staged epoch above
+    # isolates kernel cost, this one includes transfer honestly) ----
+    host_batches = [np.ascontiguousarray(r) for r, _ in batches]
+
+    def count_epoch_h2d():
+        table = ShardedKmerTable(mesh, K, 1 << 22)
+        nxt = jax.device_put(jnp.asarray(host_batches[0]))
+        for i in range(ITERS):
+            cur = nxt
+            if i + 1 < ITERS:
+                nxt = jax.device_put(jnp.asarray(host_batches[i + 1]))
+            bk, bc, _, _dr = step(cur)
+            table.fold_batch(bk, bc)
+        table.flush()
+        return table
+
+    count_epoch_h2d()
+    t0 = time.perf_counter()
+    th = count_epoch_h2d()
+    int(np.asarray(th.n_unique).max())
+    count_h2d_rps = B * ITERS / (time.perf_counter() - t0)
+
     fused = 1.0 / (1.0 / count_rps + 1.0 / filter_rps)
     n_keys = B * (L - K + 1)
     sort_passes = (int(np.log2(n_keys)) ** 2) // 2
@@ -203,6 +244,10 @@ def main():
             "fused_with_h2d_reads_per_s": round(
                 1.0 / (1.0 / count_rps + 1.0 / filter_rps
                        + h2d_ms / 1e3 / B), 1),
+            "count_with_overlapped_h2d_reads_per_s": round(count_h2d_rps, 1),
+            "h2d_note": "the bench host reaches the chip through a network relay where device_put serializes with compute (no DMA-engine overlap), so the overlapped figure is transport-bound; production PCIe pipelines it",
+            "fused_with_overlapped_h2d_reads_per_s": round(
+                1.0 / (1.0 / count_h2d_rps + 1.0 / filter_rps), 1),
             "table_unique_kmers": n_unique,
             "kept_reads": total_kept,
             "device": str(jax.devices()[0]),
@@ -210,15 +255,27 @@ def main():
                 "read_stream_bytes_per_batch": 2 * B * L,
                 "sort_keys_per_batch": n_keys,
                 "est_bitonic_passes": sort_passes,
-                "measured_sort2_ms_at_pending_size": round(sort_dt * 1e3, 1),
+                "flush_keys": pend,
+                "measured_sort2_ms_at_flush_size": round(sort_dt * 1e3, 1),
+                "measured_sort1_u32_ms": round(sort1_dt * 1e3, 1),
+                "measured_sort2_rowbatched_8192_ms": round(sortb_dt * 1e3, 1),
+                "measured_rle_compact_ms": round(compact_dt * 1e3, 1),
                 "measured_sort2_eff_gbps_vs_hbm_820": round(sort_gbps, 0),
                 "note": "count is comparator-sort bound (no TPU scatter "
                         "=> no radix); pallas fuses the encode front end "
-                        "and streams the RLE compaction (pallas_fold); "
-                        "sort eff GB/s uses the naive log^2/2-pass model "
-                        "— above-820 values mean XLA's sort already "
-                        "fuses passes in VMEM, i.e. the model's pass "
-                        "count, not HBM, is the binding resource",
+                        "and streams the RLE compaction (pallas_fold), "
+                        "and run sums are prefix-coded through the "
+                        "compaction (no gather). The variant rows bound "
+                        "what any sort restructure could gain: row-"
+                        "batched chunks sort ~4x faster per element but "
+                        "merging the chunk runs back costs the same "
+                        "comparator stages the chunking saved (bitonic "
+                        "merge levels are log2-many at ~17 in-VMEM "
+                        "stages each), so XLA's fused global sort is "
+                        "within ~15% of the comparator bound for exact "
+                        "global dedup; above-820 eff GB/s values mean "
+                        "the naive log^2/2-pass model's pass count, not "
+                        "HBM, is the binding resource",
             },
         },
     }))

@@ -743,6 +743,32 @@ class ShardedKmerTable:
                               check_vma=False))
         self.keys, self.counts = f(self.keys, self.counts)
 
+    def shrink(self):
+        """Shrink per-shard capacity to the smallest lane-aligned power of
+        two holding the current unique count. The whole-genome budget
+        story: counting holds every error k-mer until the -L floor drops
+        them, so the table during counting is ~2x its final size — without
+        a shrink, the subtract stage's 3-sample concat would carry all
+        that dead padding through HBM (jellyfish's --disk counterpart
+        frees it by writing sorted runs; count_main.cc:318-338)."""
+        self.flush()
+        need = int(np.asarray(self.n_unique).max())
+        target = max(128, 1 << max(7, int(need - 1).bit_length()))
+        if target >= self.capacity:
+            return
+        axis = self.mesh.axis_names[0]
+        cap = target
+
+        def local(tk, tc):
+            return tk[:, :cap], tc[:, :cap]
+
+        f = jax.jit(shard_map(local, mesh=self.mesh,
+                              in_specs=(P(axis), P(axis)),
+                              out_specs=(P(axis), P(axis)),
+                              check_vma=False))
+        self.keys, self.counts = f(self.keys, self.counts)
+        self.capacity = cap
+
     def overflowed(self) -> bool:
         """True if any shard's unique-key count hit capacity (keys beyond
         capacity are truncated — caller must rebuild with a larger cap)."""

@@ -279,6 +279,10 @@ class RufusPipeline:
                 f"sentinel ({progress_path})")
         if lower > 1:
             dev.apply_lower_count(lower)
+        # release the error-kmer headroom the -L floor freed: the
+        # subtract stage concats all samples' tables shard-wise, so dead
+        # padding would multiply across samples in HBM
+        dev.shrink()
         table = dev.to_host()
         if len(table) == 0:
             raise RuntimeError(f"counting produced no kmers for {path}")

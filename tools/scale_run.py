@@ -27,7 +27,7 @@ GENOME = int(os.environ.get("SCALE_GENOME", 50_000_000))
 PAIRS = int(os.environ.get("SCALE_PAIRS", 5_000_000))
 L = 150
 INSERT = 400
-ERR = 0.002
+ERR = 0.001
 N_DENOVO = 12
 N_MOSAIC = 4
 SEED = 4242
@@ -108,7 +108,7 @@ def main():
         genome = rng.choice(bases, size=GENOME)
         np.save(gpath, genome)
         with open(ref_fa, "w") as f:
-            f.write(">chrS\n")
+            f.write(">21\n")
             g = genome.tobytes().decode()
             for i in range(0, len(g), 10000):
                 f.write(g[i : i + 10000] + "\n")
@@ -152,6 +152,8 @@ def main():
         ref=ref_fa, k=25, workdir=workdir,
         flat_index=os.path.join(WORK, "ref.flat"),
         batch_size=65536, mosaic=True,
+        min_cov=int(os.environ.get("SCALE_MIN_COV", "0")) or None,
+        table_cap0=int(os.environ.get("SCALE_TABLE_CAP0", str(1 << 27))),
     )
     t0 = time.time()
     pipe = RufusPipeline(cfg)
