@@ -8,7 +8,8 @@ tables with all_to_all resharding, collective-free N-table subtraction,
 routed genotype queries, and replicated-HashList filtering (section 5.8
 mapping)."""
 
-from .sharded import (ShardedKmerTable, make_mesh, route_capacity,
+from .sharded import (ShardedKmerTable, local_count_step, make_mesh,
+                      make_splitters, route_capacity,
                       sharded_count_step, sharded_fold_step,
                       sharded_filter_step, sharded_query_step,
                       sharded_subtract_step)  # noqa: F401

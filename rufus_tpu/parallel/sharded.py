@@ -156,12 +156,16 @@ def _rle_compact_hilo(h, l, counts, cap: int):
     head = jnp.concatenate([jnp.ones((1,), bool), neq])
     is_sent = (h == _U32_ONES) & (l == _U32_ONES)
     valid = head & ~is_sent
+    # `total` must be the prefix at the FIRST SENTINEL (sentinels sort to
+    # the tail and are excluded from the compacted output, so the last
+    # valid run's sum is total - its prefix — using the whole-array total
+    # would inflate it by the trailing sentinel region)
     if counts is None:
         # exclusive prefix of all-ones counts == the index itself
         pref = jnp.arange(n, dtype=jnp.uint32)
-        total = jnp.uint32(n)
+        total = jnp.sum(~is_sent, dtype=jnp.uint32)
     else:
-        cu = counts.astype(jnp.uint32)
+        cu = jnp.where(is_sent, jnp.uint32(0), counts.astype(jnp.uint32))
         inc = jnp.cumsum(cu)  # wrapping u32 prefix
         pref = jnp.concatenate([jnp.zeros((1,), jnp.uint32), inc[:-1]])
         total = inc[-1]
@@ -408,6 +412,158 @@ def _sharded_count_step(mesh, k: int, capacity: int, route_cap: int):
 
 
 # ---------------------------------------------------------------------------
+# local-aggregate count: defer EVERYTHING to the flush (combiner idiom)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def local_count_step(mesh, k: int):
+    """Encode-only count step: each device's window keys STAY LOCAL — no
+    per-batch collective at all. The reduction is deferred to the flush,
+    which locally sorts + RLEs each device's pending and routes only the
+    UNIQUE (key, count) pairs (sharded_local_flush_step). This is the
+    combiner idiom: the all_to_all moves O(unique) instead of O(windows),
+    and per-batch device work is IDENTICAL to the single-chip path.
+
+    Returns (keys (n, W) u64 P(axis)-sharded raw count-1 keys, n_valid)."""
+    axis = mesh.axis_names[0]
+
+    def local(reads):
+        from ..ops import pallas_count
+
+        B = reads.shape[0]
+        if (jax.default_backend() == "tpu" and B % pallas_count.BLK == 0):
+            hi, lo = pallas_count.encode_canon_hilo(reads, k)
+        else:
+            hi, lo = pallas_count.encode_canon_hilo_xla(reads, k)
+        keys = ((hi.astype(jnp.uint64) << jnp.uint64(32))
+                | lo.astype(jnp.uint64)).ravel()
+        nn = jnp.sum(keys != count.SENTINEL, dtype=jnp.int64)
+        return keys[None], nn[None]
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
+                             out_specs=(P(axis), P(axis)), check_vma=False))
+
+
+def make_splitters(keys_arr, n_shards: int, sample: int = 1 << 16):
+    """Range-partition splitters from a (sharded or host) key array.
+
+    Returns a host (n_shards-1,) u64 array of quantile boundaries — key k
+    belongs to shard searchsorted(splitters, k, side='right'). Computed
+    from a systematic sample, so the partition is balanced for the ACTUAL
+    key distribution (canonical k-mers are heavily skewed low — a naive
+    top-bit partition would load shard 0 with most of the table).
+    Deterministic given the data; different batch sizes or device counts
+    change placement only, never table content."""
+    if (hasattr(keys_arr, "is_fully_addressable")
+            and not keys_arr.is_fully_addressable):
+        # multi-process mesh: subsample per shard on device, then gather
+        # the small sample to every process
+        from jax.experimental import multihost_utils
+
+        stride = max(1, keys_arr.shape[-1] // max(1, sample))
+        keys_arr = multihost_utils.process_allgather(
+            keys_arr[..., ::stride], tiled=True)
+    ks = np.asarray(keys_arr).ravel()
+    ks = ks[ks != count.SENTINEL]
+    if len(ks) == 0:
+        return np.linspace(0, float(count.SENTINEL), n_shards + 1,
+                           dtype=np.float64)[1:-1].astype(np.uint64)
+    m = min(sample, len(ks))
+    idx = (np.arange(m, dtype=np.int64) * len(ks)) // m
+    pool = np.sort(ks[idx])
+    q = (np.arange(1, n_shards, dtype=np.int64) * len(pool)) // n_shards
+    return pool[q].astype(np.uint64)
+
+
+def _owners_by_splitters(keys, splitters, n_shards: int):
+    """Owner shard of u64 keys under a range partition; SENTINEL keys get
+    owner == n_shards (dropped by routing)."""
+    owner = jnp.searchsorted(splitters, keys, side="right").astype(jnp.int32)
+    return jnp.where(keys == count.SENTINEL, jnp.int32(n_shards), owner)
+
+
+@functools.lru_cache(maxsize=None)
+def _local_partial_step(mesh, part_cap: int):
+    """Per-device local aggregation: sort the device's raw pending (2 u32
+    lanes — identical work to the single-chip fold) and RLE-compact to
+    sorted-unique (key, count) partials of width part_cap. No collective.
+    Returns (keys (n, part_cap), counts, max unique per device)."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    def local(pending):
+        pk = pending.reshape(-1)
+        ph = (pk >> jnp.uint64(32)).astype(jnp.uint32)
+        plo = pk.astype(jnp.uint32)
+        ph, plo = jax.lax.sort((ph, plo), num_keys=2)
+        uh, ul, uc, nu = _rle_compact_hilo(ph, plo, None, part_cap)
+        keys = (uh.astype(jnp.uint64) << jnp.uint64(32)) | ul.astype(jnp.uint64)
+        if n > 1:
+            nu = jnp.max(jax.lax.all_gather(nu, axis))
+        return keys[None], uc[None], nu
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=P(axis),
+                             out_specs=(P(axis), P(axis), P()),
+                             check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _route_partials_step(mesh, route_cap: int):
+    """Cut each device's ALREADY-SORTED unique partials into per-shard
+    segments at the range splitters (searchsorted — routing needs NO sort
+    under a range partition) and exchange (key, count) pairs. The
+    all_to_all moves O(unique) slots, not O(windows) — the combiner
+    payoff. Returns per-shard received (keys (n*route_cap,), counts,
+    dropped (replicated sum))."""
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    def local(pkeys, pcnts, splitters):
+        keys = pkeys.reshape(-1)
+        uc = pcnts.reshape(-1)
+        # segment bounds under the range partition: the partial is sorted,
+        # so each shard's keys are a contiguous slice. side="left" pairs
+        # with _owners_by_splitters's side="right": a key EQUAL to
+        # splitters[i-1] belongs to shard i
+        bounds = jnp.concatenate([
+            jnp.zeros((1,), jnp.int64),
+            jnp.searchsorted(keys, splitters, side="left"),
+            jnp.searchsorted(keys, jnp.uint64(count.SENTINEL),
+                             side="left")[None],
+        ]).astype(jnp.int32)
+        seg_len = bounds[1:] - bounds[:-1]
+        dropped = jnp.sum(
+            jnp.maximum(seg_len - route_cap, 0).astype(jnp.int64))
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, route_cap), 1)
+        in_seg = col < seg_len[:, None]
+        kpad = jnp.concatenate(
+            [keys, jnp.full((route_cap,), count.SENTINEL, jnp.uint64)])
+        cpad = jnp.concatenate([uc, jnp.zeros((route_cap,), jnp.int32)])
+        krows = jnp.stack([jax.lax.dynamic_slice(kpad, (bounds[q],),
+                                                 (route_cap,))
+                           for q in range(n)])
+        crows = jnp.stack([jax.lax.dynamic_slice(cpad, (bounds[q],),
+                                                 (route_cap,))
+                           for q in range(n)])
+        krows = jnp.where(in_seg, krows, count.SENTINEL)
+        crows = jnp.where(in_seg, crows, 0)
+        if n > 1:
+            krows = jax.lax.all_to_all(krows[None], axis, split_axis=1,
+                                       concat_axis=0, tiled=False)
+            crows = jax.lax.all_to_all(crows[None], axis, split_axis=1,
+                                       concat_axis=0, tiled=False)
+            dropped = jax.lax.psum(dropped, axis)
+        else:
+            krows, crows = krows[None], crows[None]
+        return krows.reshape(1, -1), crows.reshape(1, -1), dropped
+
+    return jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P()), check_vma=False))
+
+
+# ---------------------------------------------------------------------------
 # fold: LSM-merge a batch's sharded RLE into the running sharded table
 # ---------------------------------------------------------------------------
 
@@ -517,29 +673,51 @@ def sharded_subtract_step(mesh, n_samples: int):
     axis = mesh.axis_names[0]
 
     def local(keys_list, cnts_list, merge_min, min_cov, max_depth):
-        # zero-count entries are the Pallas compaction's dummy duplicates
-        # (pallas_fold.py): mask them to sentinels or they would break
-        # the exactly-one-occurrence (singleton) test below
-        keys = jnp.concatenate(
-            [jnp.where(c[0] > 0, k[0], count.SENTINEL)
-             for k, c in zip(keys_list, cnts_list)])
-        cnts = jnp.concatenate([c[0] for c in cnts_list])
-        keys, cnts = _sort_pairs(keys, cnts)
-        head = jnp.concatenate([jnp.ones(1, bool), keys[1:] != keys[:-1]])
-        tail = jnp.concatenate([keys[1:] != keys[:-1], jnp.ones(1, bool)])
-        singleton = head & tail & (keys != count.SENTINEL)
-        keep = singleton & (cnts >= merge_min)
+        # u32 planes + i32 count lanes end to end: at whole-genome table
+        # sizes (3 x 50M+ unique per shard in round-4's SCALE run) the
+        # previous u64+i64 formulation tripled transient HBM and crashed
+        # the worker; counts saturate at 2^31-1 which is far past any
+        # threshold compared here
+        hs, ls, cs = [], [], []
+        for k_, c_ in zip(keys_list, cnts_list):
+            # zero-count entries are routed-bin padding: mask to sentinel
+            # or they would break the singleton test below
+            kk = jnp.where(c_[0] > 0, k_[0], count.SENTINEL)
+            hs.append((kk >> jnp.uint64(32)).astype(jnp.uint32))
+            ls.append(kk.astype(jnp.uint32))
+            cs.append(jnp.minimum(c_[0], jnp.int64(2**31 - 1))
+                      .astype(jnp.int32))
+        h = jnp.concatenate(hs)
+        l = jnp.concatenate(ls)
+        c = jnp.concatenate(cs)
+        h, l, c = jax.lax.sort((h, l, c), num_keys=2)
+        neq = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+        head = jnp.concatenate([jnp.ones(1, bool), neq])
+        tail = jnp.concatenate([neq, jnp.ones(1, bool)])
+        is_sent = (h == _U32_ONES) & (l == _U32_ONES)
+        singleton = head & tail & ~is_sent
+        keep = singleton & (c >= merge_min)
+        # subject count pull (local binary search on the subject shard
+        # table, u64 keys — small index arrays, no giant temporaries)
+        keys = (h.astype(jnp.uint64) << jnp.uint64(32)) | l.astype(jnp.uint64)
         mut = jnp.where(keep, keys, count.SENTINEL)
-        # subject count pull (local binary search on the subject shard table)
         sk, sc = keys_list[0][0], cnts_list[0][0]
         idx = jnp.searchsorted(sk, mut)
         idx_c = jnp.minimum(idx, sk.shape[0] - 1)
-        scnt = jnp.where(sk[idx_c] == mut, sc[idx_c], 0)
+        scnt = jnp.where(sk[idx_c] == mut,
+                         jnp.minimum(sc[idx_c], jnp.int64(2**31 - 1))
+                         .astype(jnp.int32), 0)
         keep = keep & (scnt >= min_cov) & (scnt <= max_depth)
-        mut = jnp.where(keep, keys, count.SENTINEL)
-        scnt = jnp.where(keep, scnt, 0)
-        mut, scnt = _sort_pairs(mut, scnt)
-        return mut[None], scnt[None]
+        mh = jnp.where(keep, h, _U32_ONES)
+        ml = jnp.where(keep, l, _U32_ONES)
+        ms = jnp.where(keep, scnt, 0)
+        mh, ml, ms = jax.lax.sort((mh, ml, ms), num_keys=2)
+        # mutants are a subset of the subject's keys: the subject shard
+        # width bounds the valid prefix, so slice the output down
+        sub_cap = keys_list[0].shape[-1]
+        mut = ((mh[:sub_cap].astype(jnp.uint64) << jnp.uint64(32))
+               | ml[:sub_cap].astype(jnp.uint64))
+        return mut[None], ms[:sub_cap].astype(jnp.int64)[None]
 
     f = shard_map(
         local, mesh=mesh,
@@ -554,31 +732,39 @@ def sharded_subtract_step(mesh, n_samples: int):
 # ---------------------------------------------------------------------------
 
 
-def sharded_query_step(mesh, k: int, qcap: int, route_cap: int | None = None):
-    """Point-lookup of data-sharded canonical k-mers against a hash-
-    sharded table: bucket by owner, all_to_all, local searchsorted,
-    all_to_all back, un-route. Replaces `jellyfish query` pulls
+def sharded_query_step(mesh, k: int, qcap: int, route_cap: int | None = None,
+                       by_splitters: bool = False):
+    """Point-lookup of data-sharded canonical k-mers against a sharded
+    table: bucket by owner, all_to_all, local searchsorted, all_to_all
+    back, un-route. Replaces `jellyfish query` pulls
     (Overlap.shorter.sh:265-303) at pod scale.
 
-    queries: (S, Q) u64 data-sharded; table keys/counts (S, cap)
-    hash-sharded. qcap = per-device query count Q. route_cap is the
-    PER-PEER bin width, O(qcap/n) (round 2 routed qcap per peer — n x
-    oversized). Returns ((S, Q) i64 counts (0 when absent), (S,) dropped);
-    dropped > 0 means some queries never reached their owner — the caller
-    must retry with a doubled route_cap for correct counts."""
+    queries: (S, Q) u64 data-sharded; table keys/counts (S, cap) sharded
+    by hash (by_splitters=False) or by range splitters (True — the jitted
+    fn then takes a trailing (n-1,) u64 splitters arg and MUST be given
+    the same splitters the table was built with). qcap = per-device query
+    count Q. route_cap is the PER-PEER bin width, O(qcap/n) (round 2
+    routed qcap per peer — n x oversized). Returns ((S, Q) i64 counts (0
+    when absent), (S,) dropped); dropped > 0 means some queries never
+    reached their owner — the caller must retry with a doubled route_cap
+    for correct counts."""
     if route_cap is None:
         route_cap = route_capacity(qcap, mesh.devices.size)
-    return _sharded_query_step(mesh, k, qcap, route_cap)
+    return _sharded_query_step(mesh, k, qcap, route_cap, by_splitters)
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int):
+def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int,
+                        by_splitters: bool = False):
     axis = mesh.axis_names[0]
     n = mesh.devices.size
 
-    def local(queries, tk, tc):
+    def local(queries, tk, tc, *split):
         q = queries.reshape(-1)
-        owner = _owners(q, n, k)
+        if by_splitters:
+            owner = _owners_by_splitters(q, split[0], n)
+        else:
+            owner = _owners(q, n, k)
         bins, _, order, row, col, ok, dropped = _bucket_by_owner(
             q, owner, n, route_cap)
         if n > 1:
@@ -604,7 +790,8 @@ def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int):
         return (out.reshape(queries.shape),
                 jax.lax.psum(dropped, axis))
 
-    f = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis), P(axis)),
+    in_specs = (P(axis), P(axis), P(axis)) + ((P(),) if by_splitters else ())
+    f = shard_map(local, mesh=mesh, in_specs=in_specs,
                   out_specs=(P(axis), P()), check_vma=False)
     return jax.jit(f)
 
@@ -650,7 +837,7 @@ class ShardedKmerTable:
     materialized."""
 
     def __init__(self, mesh, k: int, capacity: int,
-                 pending_budget: int = 96 << 20):
+                 pending_budget: int = 96 << 20, splitters=None):
         self.mesh = mesh
         self.k = k
         self.capacity = capacity
@@ -673,6 +860,15 @@ class ShardedKmerTable:
         self._pending: list = []
         self._pending_els = 0
         self._pending_budget = pending_budget
+        # range-partition splitters ((n-1,) u64 host array) enable the
+        # LOCAL-AGGREGATE flush: batches stay device-local (no per-batch
+        # collective), and the flush routes only the locally-unique
+        # (key, count) pairs — the combiner idiom. All tables that meet in
+        # a subtract must share the same splitters.
+        self.splitters = splitters
+        self._split_dev = None
+        self._part_cap = None
+        self._flush_route_cap = None
 
     def fold_batch(self, batch_keys, batch_counts=None):
         """Queue one sharded batch — RAW count-1 keys from the count step
@@ -695,6 +891,9 @@ class ShardedKmerTable:
         final partial one."""
         if not self._pending:
             return
+        if (self.splitters is not None and self.mesh.devices.size > 1
+                and all(c is None for _, c in self._pending)):
+            return self._flush_local_agg()
         bk = jnp.concatenate([k for k, _ in self._pending], axis=-1)
         raw = all(c is None for _, c in self._pending)
         if raw:
@@ -720,6 +919,49 @@ class ShardedKmerTable:
             # truncation, so grow straight to a capacity that fits (one
             # retry) instead of doubling once per retry (each doubling
             # would compile a fresh fold shape)
+            self._grow(need)
+
+    def _flush_local_agg(self):
+        """Local-aggregate flush: sort+RLE each device's own pending
+        (identical work to the single-chip fold), cut the sorted partials
+        at the range splitters (no routing sort), all_to_all only the
+        unique (key, count) pairs, then fold the received runs into the
+        authoritative range-partitioned table. Lossless: partial-width and
+        route-bin overflows are detected and retried wider."""
+        n = self.mesh.devices.size
+        bk = jnp.concatenate([k for k, _ in self._pending], axis=-1)
+        self._pending = []
+        self._pending_els = 0
+        per_dev = bk.shape[-1]
+        if self._split_dev is None:
+            rep = jax.sharding.NamedSharding(self.mesh, P())
+            self._split_dev = jax.device_put(
+                jnp.asarray(self.splitters, jnp.uint64), rep)
+        # phase 1: local partials (no collective); the partial can never
+        # exceed the pending width, so one shape per pending size
+        part_cap = -(-per_dev // 128) * 128
+        pstep = _local_partial_step(self.mesh, part_cap)
+        pk, pc, nu = pstep(bk)
+        # phase 2: route O(unique) slots; per-peer width sized from the
+        # OBSERVED unique count (balanced splitters => ~nu/n per peer),
+        # grown losslessly on overflow
+        nu_i = int(np.asarray(nu).max())
+        want_cap = route_capacity(max(nu_i, 128), n)
+        if self._flush_route_cap is None or self._flush_route_cap < want_cap:
+            self._flush_route_cap = want_cap
+        while True:
+            rstep = _route_partials_step(self.mesh, self._flush_route_cap)
+            rk, rc, dropped = rstep(pk, pc, self._split_dev)
+            if int(np.asarray(dropped).sum()) == 0:
+                break
+            self._flush_route_cap *= 2
+        while True:
+            fold = sharded_fold_step(self.mesh, self.capacity, False)
+            nk, nc, nn = fold(self.keys, self.counts, rk, rc)
+            need = int(np.asarray(nn).max())
+            if need <= self.capacity:
+                self.keys, self.counts, self.n_unique = nk, nc, nn
+                return
             self._grow(need)
 
     def _grow(self, need: int | None = None):

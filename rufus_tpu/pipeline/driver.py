@@ -66,6 +66,8 @@ class RufusPipeline:
         self._dev_tables: dict = {}  # stub -> ShardedKmerTable (resident)
         self._route_cap = None  # per-peer all_to_all bin width (grows on
         # overflow, the lossless retry protocol of sharded_count_step)
+        self._splitters = None  # range-partition boundaries shared by
+        # every sample's device table (local-aggregate count flow)
 
     # -- reference handling -------------------------------------------------
 
@@ -242,37 +244,39 @@ class RufusPipeline:
         if stream is None:
             stream = self._prefetch(
                 self._batch_stream(path, progress_path=progress_path))
-        # Lossless routing with PER-BATCH retry: every batch's dropped
-        # counter is checked with a one-batch lag (so the fetch overlaps
-        # the next batch's dispatch) and only the offending batch is
-        # re-dispatched at a doubled route_cap — a hot batch no longer
-        # costs a whole re-decode of the sample (round-3 weak #4). Folding
-        # is deferred until a batch's check clears, so a dropped key can
-        # never reach the table.
         dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
+        if n_dev > 1:
+            # LOCAL-AGGREGATE path (combiner idiom): batches stay device-
+            # local with zero per-batch collectives — identical per-batch
+            # work to the single-chip path — and the flush routes only
+            # the locally-unique (key, count) pairs at the range
+            # splitters. Flush-level route overflow is detected and
+            # retried wider inside the table (lossless).
+            from ..parallel import local_count_step, make_splitters
 
-        def settle(entry):
-            bk, bc, dr, reads_d = entry
-            while int(np.asarray(dr).sum()) != 0:
-                self._route_cap *= 2
-                self._log(f"count[{stub}]: routing bins overflowed; "
-                          f"retrying batch with route_cap={self._route_cap}")
-                retry_step = sharded_count_step(mesh, cfg.k, bcap,
-                                                self._route_cap)
-                bk, bc, _, dr = retry_step(reads_d)
-            dev.fold_batch(bk, bc)
-
-        inflight = None
-        for seq in stream:
+            lstep = local_count_step(mesh, cfg.k)
+            for seq in stream:
+                reads_d = jax.device_put(jnp.asarray(seq), sharding)
+                bk, _nn = lstep(reads_d)
+                if self._splitters is None:
+                    # one partition for the whole run: every sample's
+                    # table must share it (the subtract is local per
+                    # shard only because partitions align)
+                    self._splitters = make_splitters(bk, n_dev)
+                    self._log(f"count routing: {n_dev} shards, range "
+                              f"splitters from the first batch "
+                              f"(local-aggregate flush)")
+                dev.splitters = self._splitters
+                dev.fold_batch(bk)
+                meter.add(seq.shape[0])
+        else:
+            # single chip: raw keys defer everything to the fold
             step = sharded_count_step(mesh, cfg.k, bcap, self._route_cap)
-            reads_d = jax.device_put(jnp.asarray(seq), sharding)
-            bk, bc, _, dr = step(reads_d)
-            if inflight is not None:
-                settle(inflight)
-            inflight = (bk, bc, dr, reads_d)
-            meter.add(seq.shape[0])
-        if inflight is not None:
-            settle(inflight)
+            for seq in stream:
+                reads_d = jax.device_put(jnp.asarray(seq), sharding)
+                bk, bc, _, _dr = step(reads_d)
+                dev.fold_batch(bk, bc)
+                meter.add(seq.shape[0])
         if not bam.stream_complete(progress_path):
             raise RuntimeError(
                 f"count stream for {path} ended without the completion "
@@ -768,9 +772,19 @@ class RufusPipeline:
             self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
         q_dev = jax.device_put(jnp.asarray(padded.reshape(n, qcap)), sh)
         rcap = route_capacity(qcap, n)
+        by_split = dev.splitters is not None and n > 1
+        if by_split:
+            rep = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            split_dev = jax.device_put(
+                jnp.asarray(dev.splitters, jnp.uint64), rep)
         while True:
-            step = sharded_query_step(self.mesh, cfg.k, qcap, rcap)
-            out, dropped = step(q_dev, dev.keys, dev.counts)
+            step = sharded_query_step(self.mesh, cfg.k, qcap, rcap,
+                                      by_splitters=by_split)
+            if by_split:
+                out, dropped = step(q_dev, dev.keys, dev.counts, split_dev)
+            else:
+                out, dropped = step(q_dev, dev.keys, dev.counts)
             if int(np.asarray(dropped).sum()) == 0:
                 break
             rcap *= 2

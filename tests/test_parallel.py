@@ -289,3 +289,61 @@ def test_routed_pipeline_pull_matches_host_query(n_dev):
     got = RufusPipeline._routed_query(probe, dev, queries)
     want = host.query(queries)
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_fold_counts_exact_with_sentinel_windows(n_dev):
+    """Reads containing N produce sentinel window keys; the prefix-coded
+    RLE sums must NOT attribute the trailing sentinel region to the last
+    valid run (regression: the largest key's count was inflated by the
+    sentinel count on the n=1 raw path)."""
+    k = 13
+    rng = np.random.default_rng(9)
+    reads = rng.choice(BASES, size=(16 * 8, 48))
+    nmask = rng.random(reads.shape) < 0.05
+    reads = np.where(nmask, ord("N"), reads).astype(np.uint8)
+    mesh = make_mesh(n_dev)
+    t = _build_sharded(mesh, reads, k, cap=reads.size, batches=4)
+    want = _host_table(reads, k)
+    host = t.to_host()
+    np.testing.assert_array_equal(host.keys, want.keys)
+    np.testing.assert_array_equal(host.counts, want.counts)
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_local_aggregate_flush_matches_host(n_dev):
+    """The combiner-idiom count flow (local_count_step + splitter-routed
+    flush): per-batch work stays device-local, the flush exchanges only
+    unique pairs, and the table equals the host build exactly at every
+    device count."""
+    import jax
+    import jax.numpy as jnp
+
+    from rufus_tpu.parallel import local_count_step, make_splitters
+
+    k, B, L = 13, 16 * 8, 48
+    rng = np.random.default_rng(3)
+    reads = rng.choice(BASES, size=(B, L))
+    nmask = rng.random(reads.shape) < 0.03
+    reads = np.where(nmask, ord("N"), reads).astype(np.uint8)
+    mesh = make_mesh(n_dev)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("d"))
+    lstep = local_count_step(mesh, k)
+    dev = ShardedKmerTable(mesh, k, capacity=B * (L - k + 1))
+    splitters = None
+    for i in range(4):
+        part = reads[i * (B // 4):(i + 1) * (B // 4)]
+        pad = np.full((B - B // 4, L), ord("N"), np.uint8)
+        batch = np.concatenate([part, pad])
+        bk, _nn = lstep(jax.device_put(jnp.asarray(batch), sh))
+        if splitters is None:
+            splitters = make_splitters(bk, n_dev)
+        dev.splitters = splitters
+        dev.fold_batch(bk)
+    dev.flush()
+    host = dev.to_host()
+    want = _host_table(reads, k)
+    np.testing.assert_array_equal(host.keys, want.keys)
+    np.testing.assert_array_equal(host.counts, want.counts)

@@ -224,16 +224,19 @@ def test_clean_purges_intermediates(tmp_path):
     assert not any(p.exists() for p in purge)
 
 
-def test_count_sample_per_batch_overflow_retry(tmp_path):
-    """Routing-bin overflow retries ONLY the offending batch at a doubled
-    route_cap (round-3 weak #4: previously the whole sample re-streamed),
-    and the final table is exact despite the overflow."""
+def test_count_sample_local_agg_with_flush_overflow_retry(tmp_path):
+    """count_sample on a multi-device mesh uses the local-aggregate flow
+    (no per-batch collective); a deliberately tiny flush route_cap forces
+    the flush-level overflow retry, which must be lossless — the final
+    table is exact (round-3 weak #4 successor: overflow retries never
+    re-stream the sample)."""
     import jax
 
     from rufus_tpu.ops import count
     from rufus_tpu.pipeline import RufusConfig
     from rufus_tpu.pipeline.driver import RufusPipeline
     from rufus_tpu.io import bam
+    from rufus_tpu.parallel.sharded import ShardedKmerTable
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -242,17 +245,43 @@ def test_count_sample_per_batch_overflow_retry(tmp_path):
                       read_pad=48)
     p = RufusPipeline(cfg)
     assert p.n_devices == 8
-    p._route_cap = 32  # force per-peer overflow on the first batch
 
-    rng = np.random.default_rng(5)
-    bases = np.frombuffer(b"ACGT", np.uint8)
-    batches = [rng.choice(bases, size=(64, 48)) for _ in range(3)]
-    with open(cfg.wpath("S.Jelly.chr"), "w") as f:
-        f.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
+    # pathological splitters: EVERYTHING lands on shard 0, so the
+    # observed-unique route sizing (which assumes balanced splitters)
+    # must overflow and the lossless doubling retry must fire
+    import rufus_tpu.parallel as par
 
-    table = p.count_sample("synthetic.bam", "S", lower=1,
-                           stream=iter(batches))
-    assert p._route_cap > 32, "expected at least one per-batch retry"
+    orig_make = par.make_splitters
+    par.make_splitters = lambda bk, n, **kw: np.full(
+        n - 1, np.uint64(1) << np.uint64(50), np.uint64)
+    orig_init = ShardedKmerTable.__init__
+    built = []
+
+    def patched(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        built.append(self)
+
+    ShardedKmerTable.__init__ = patched
+    try:
+        rng = np.random.default_rng(5)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        batches = [rng.choice(bases, size=(64, 48)) for _ in range(3)]
+        with open(cfg.wpath("S.Jelly.chr"), "w") as f:
+            f.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
+        table = p.count_sample("synthetic.bam", "S", lower=1,
+                               stream=iter(batches))
+    finally:
+        ShardedKmerTable.__init__ = orig_init
+        par.make_splitters = orig_make
+    # the balanced-splitters estimate would have sized bins at
+    # route_capacity(per-device unique, 8); the skew forced doubling past
+    # it until one peer's full segment fit
+    from rufus_tpu.parallel import route_capacity
+
+    per_dev_pending = 3 * (64 // 8) * (48 - 13 + 1)
+    balanced_cap = route_capacity(per_dev_pending, 8)
+    assert built[0]._flush_route_cap > balanced_cap, \
+        (built[0]._flush_route_cap, balanced_cap)
     seqs = [r.tobytes().decode() for b in batches for r in b]
     want = count.KmerTable.from_strings(13, seqs, canonical=True)
     np.testing.assert_array_equal(table.keys, want.keys)

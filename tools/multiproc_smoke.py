@@ -5,10 +5,10 @@ Everything else in the repo exercises a single-process mesh; real pods
 span processes, where collectives ride DCN and every array is only
 partially addressable. This script runs the count -> fold -> subtract
 chain on a 4-process x 2-virtual-CPU-device mesh (SMOKE_PROCS
-overrides the process count) via
-jax.distributed.initialize, asserting exact parity with the
-single-device host build — proving the process-spanning all_to_all
-codepath compiles and keeps the table deterministic.
+overrides the process count) via jax.distributed.initialize, asserting
+exact parity with the single-device host build — proving the process-
+spanning local-aggregate flush (splitter-routed all_to_all of unique
+pairs), subtract and routed query keep the table deterministic.
 
 Run (single command; it spawns its own workers):
     python tools/multiproc_smoke.py
@@ -43,8 +43,9 @@ def worker(rank: int):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import rufus_tpu  # noqa: F401
     from rufus_tpu.ops import codec, count
-    from rufus_tpu.parallel import (ShardedKmerTable, make_mesh,
-                                    sharded_count_step, sharded_subtract_step)
+    from rufus_tpu.parallel import (ShardedKmerTable, local_count_step,
+                                    make_mesh, make_splitters,
+                                    sharded_subtract_step)
 
     n_dev = len(jax.devices())
     assert n_dev == N_PROC * DEV_PER_PROC, jax.devices()
@@ -67,7 +68,8 @@ def worker(rank: int):
                        for i in range(L - k + 1)})
 
     bcap = (B // n_dev) * (L - k + 1)
-    step = sharded_count_step(mesh, k, bcap)
+    step = local_count_step(mesh, k)
+    splitters = None
     tables = []
     for reads in (subject, mother, father):
         # each process owns its slice of the global batch
@@ -76,11 +78,15 @@ def worker(rank: int):
         g = jax.make_array_from_process_local_data(
             sharding, jnp.asarray(local), (B, L))
         t = ShardedKmerTable(mesh, k, capacity=max(256, bcap))
-        bk, bc, _, dr = step(g)
+        bk, _nn = step(g)
+        if splitters is None:
+            # sampled device-side + process_allgather: identical on every
+            # process (the partition must agree across the pod)
+            splitters = make_splitters(bk, n_dev)
+        t.splitters = splitters
         jax.block_until_ready(bk)
-        t.fold_batch(bk, bc)
+        t.fold_batch(bk)
         t.flush()
-        assert int(np.asarray(dr)) == 0  # replicated scalar
         tables.append(t)
 
     sub = sharded_subtract_step(mesh, 3)
@@ -121,8 +127,10 @@ def worker(rank: int):
         queries[d, : len(probe)] = probe
     ql = jnp.asarray(queries[rank * DEV_PER_PROC:(rank + 1) * DEV_PER_PROC])
     qg = jax.make_array_from_process_local_data(sharding, ql, queries.shape)
-    qstep = sharded_query_step(mesh, k, qcap)
-    out, dropped = qstep(qg, tables[0].keys, tables[0].counts)
+    qstep = sharded_query_step(mesh, k, qcap, by_splitters=True)
+    rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    split_dev = jax.device_put(jnp.asarray(splitters, jnp.uint64), rep)
+    out, dropped = qstep(qg, tables[0].keys, tables[0].counts, split_dev)
     assert int(np.asarray(dropped).sum()) == 0
     out_g = np.asarray(multihost_utils.process_allgather(out, tiled=True))
     assert out_g.shape == (n_dev, qcap), out_g.shape
