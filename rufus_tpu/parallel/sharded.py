@@ -668,56 +668,44 @@ def sharded_subtract_step(mesh, n_samples: int):
     needs ZERO collectives.
 
     Input: lists of keys/counts arrays, each (S, cap_i), sample 0 =
-    subject. Output: (S, sum cap_i) mutant keys (SENTINEL-padded, sorted
-    per shard) and their subject counts."""
+    subject. Output: (S, cap_0) mutant keys (SENTINEL-padded, sorted per
+    shard) and their subject counts. Requires min_cov >= 1 (always true
+    in the pipeline: the model cutoff is >= 2 and -m overrides are
+    positive) — with min_cov = 0 the reference merge would also emit
+    control-only singletons, which this fused form never materializes."""
     axis = mesh.axis_names[0]
 
     def local(keys_list, cnts_list, merge_min, min_cov, max_depth):
-        # u32 planes + i32 count lanes end to end: at whole-genome table
-        # sizes (3 x 50M+ unique per shard in round-4's SCALE run) the
-        # previous u64+i64 formulation tripled transient HBM and crashed
-        # the worker; counts saturate at 2^31-1 which is far past any
-        # threshold compared here
-        hs, ls, cs = [], [], []
-        for k_, c_ in zip(keys_list, cnts_list):
-            # zero-count entries are routed-bin padding: mask to sentinel
-            # or they would break the singleton test below
-            kk = jnp.where(c_[0] > 0, k_[0], count.SENTINEL)
-            hs.append((kk >> jnp.uint64(32)).astype(jnp.uint32))
-            ls.append(kk.astype(jnp.uint32))
-            cs.append(jnp.minimum(c_[0], jnp.int64(2**31 - 1))
-                      .astype(jnp.int32))
-        h = jnp.concatenate(hs)
-        l = jnp.concatenate(ls)
-        c = jnp.concatenate(cs)
-        h, l, c = jax.lax.sort((h, l, c), num_keys=2)
-        neq = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
-        head = jnp.concatenate([jnp.ones(1, bool), neq])
-        tail = jnp.concatenate([neq, jnp.ones(1, bool)])
-        is_sent = (h == _U32_ONES) & (l == _U32_ONES)
-        singleton = head & tail & ~is_sent
-        keep = singleton & (c >= merge_min)
-        # subject count pull (local binary search on the subject shard
-        # table, u64 keys — small index arrays, no giant temporaries)
-        keys = (h.astype(jnp.uint64) << jnp.uint64(32)) | l.astype(jnp.uint64)
-        mut = jnp.where(keep, keys, count.SENTINEL)
+        # The fused reference semantics — "k-mer occurs in exactly ONE
+        # input file with count >= merge_min" (merge_files.cc:147-153)
+        # followed by the subject count-range pull
+        # (CheckJellyHashList.sh:12, min_cov >= 1) — reduce to: SUBJECT
+        # keys, absent from EVERY control, with subject count in
+        # [max(merge_min, min_cov), max_depth]. (Control-only singletons
+        # that the reference merge also prints die at the subject pull —
+        # their subject count is 0 < min_cov.) This formulation is a
+        # per-control sorted MEMBERSHIP test (searchsorted + gather) over
+        # the subject's shard slice — no concat, no re-sort of tables
+        # that are already sorted. The previous 3-table concat+sort
+        # tripled transient HBM and OOM-crashed the worker at the
+        # whole-genome SCALE run sizes (3 x 50M unique per shard).
         sk, sc = keys_list[0][0], cnts_list[0][0]
-        idx = jnp.searchsorted(sk, mut)
-        idx_c = jnp.minimum(idx, sk.shape[0] - 1)
-        scnt = jnp.where(sk[idx_c] == mut,
-                         jnp.minimum(sc[idx_c], jnp.int64(2**31 - 1))
-                         .astype(jnp.int32), 0)
-        keep = keep & (scnt >= min_cov) & (scnt <= max_depth)
-        mh = jnp.where(keep, h, _U32_ONES)
-        ml = jnp.where(keep, l, _U32_ONES)
-        ms = jnp.where(keep, scnt, 0)
+        keep = ((sk != count.SENTINEL) & (sc > 0)
+                & (sc >= merge_min) & (sc >= min_cov) & (sc <= max_depth))
+        for k_, c_ in zip(keys_list[1:], cnts_list[1:]):
+            ck, cc = k_[0], c_[0]
+            idx = jnp.searchsorted(ck, sk).astype(jnp.int32)
+            idx_c = jnp.minimum(idx, ck.shape[0] - 1)
+            present = (ck[idx_c] == sk) & (cc[idx_c] > 0)
+            keep = keep & ~present
+        mh = jnp.where(keep, (sk >> jnp.uint64(32)).astype(jnp.uint32),
+                       _U32_ONES)
+        ml = jnp.where(keep, sk.astype(jnp.uint32), _U32_ONES)
+        ms = jnp.where(keep, jnp.minimum(sc, jnp.int64(2**31 - 1))
+                       .astype(jnp.int32), 0)
         mh, ml, ms = jax.lax.sort((mh, ml, ms), num_keys=2)
-        # mutants are a subset of the subject's keys: the subject shard
-        # width bounds the valid prefix, so slice the output down
-        sub_cap = keys_list[0].shape[-1]
-        mut = ((mh[:sub_cap].astype(jnp.uint64) << jnp.uint64(32))
-               | ml[:sub_cap].astype(jnp.uint64))
-        return mut[None], ms[:sub_cap].astype(jnp.int64)[None]
+        mut = (mh.astype(jnp.uint64) << jnp.uint64(32)) | ml.astype(jnp.uint64)
+        return mut[None], ms.astype(jnp.int64)[None]
 
     f = shard_map(
         local, mesh=mesh,
