@@ -107,6 +107,34 @@ def route_capacity(m: int, n_shards: int, slack: float = 0.3) -> int:
     return max(128, min(m, cap))
 
 
+def searchsorted_u64(keys, q):
+    """Left-bisect u64 queries into a sorted u64 array using ONLY u32
+    compares and gathers.
+
+    Native jnp.searchsorted on u64 operands FAULTS the TPU worker at
+    tens-of-millions element sizes (reproduced on v5e via the axon
+    relay: a 67M x 67M u64 searchsorted kills the device; the identical
+    shape in u32, and 67M random gathers, are fine — the emulated-u64
+    compare inside XLA's bisection loop is the trigger). This manual
+    vectorized bisection runs ~log2(n) rounds of two u32 gathers."""
+    n = keys.shape[0]
+    kh = (keys >> jnp.uint64(32)).astype(jnp.uint32)
+    kl = keys.astype(jnp.uint32)
+    qh = (q >> jnp.uint64(32)).astype(jnp.uint32)
+    ql = q.astype(jnp.uint32)
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, n, jnp.int32)
+    for _ in range(max(1, int(n - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        mh = kh[midc]
+        ml = kl[midc]
+        less = (mh < qh) | ((mh == qh) & (ml < ql))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
 def _sort_pairs(keys, cnts):
     """Sort (keys, cnts) by keys with native-width compares.
 
@@ -527,10 +555,10 @@ def _route_partials_step(mesh, route_cap: int):
         # with _owners_by_splitters's side="right": a key EQUAL to
         # splitters[i-1] belongs to shard i
         bounds = jnp.concatenate([
-            jnp.zeros((1,), jnp.int64),
-            jnp.searchsorted(keys, splitters, side="left"),
-            jnp.searchsorted(keys, jnp.uint64(count.SENTINEL),
-                             side="left")[None],
+            jnp.zeros((1,), jnp.int32),
+            searchsorted_u64(keys, splitters),
+            searchsorted_u64(keys, jnp.full((1,), count.SENTINEL,
+                                            jnp.uint64)),
         ]).astype(jnp.int32)
         seg_len = bounds[1:] - bounds[:-1]
         dropped = jnp.sum(
@@ -690,17 +718,42 @@ def sharded_subtract_step(mesh, n_samples: int):
         # tripled transient HBM and OOM-crashed the worker at the
         # whole-genome SCALE run sizes (3 x 50M unique per shard).
         sk, sc = keys_list[0][0], cnts_list[0][0]
+        cap = sk.shape[0]
+        sh_ = (sk >> jnp.uint64(32)).astype(jnp.uint32)
+        sl_ = sk.astype(jnp.uint32)
         keep = ((sk != count.SENTINEL) & (sc > 0)
                 & (sc >= merge_min) & (sc >= min_cov) & (sc <= max_depth))
         for k_, c_ in zip(keys_list[1:], cnts_list[1:]):
-            ck, cc = k_[0], c_[0]
-            idx = jnp.searchsorted(ck, sk).astype(jnp.int32)
-            idx_c = jnp.minimum(idx, ck.shape[0] - 1)
-            present = (ck[idx_c] == sk) & (cc[idx_c] > 0)
-            keep = keep & ~present
-        mh = jnp.where(keep, (sk >> jnp.uint64(32)).astype(jnp.uint32),
-                       _U32_ONES)
-        ml = jnp.where(keep, sk.astype(jnp.uint32), _U32_ONES)
+            # membership via a tagged sort-merge: concat control(tag 0) +
+            # subject(tag 1) u32 planes, sort by (h, l, tag) — a subject
+            # key's LEFT neighbor is its control twin iff present (both
+            # tables are sorted-unique) — then compact the subject
+            # entries (unique, ascending) back out with the presence
+            # flag as payload. Sorts + the streaming compaction are the
+            # proven-fast primitives; per-element binary search is not:
+            # random gathers measure ~0.5 us/element on v5e, which at
+            # 67M queries x 54 bisection rounds is effectively a hang.
+            ck = jnp.where(c_[0] > 0, k_[0], count.SENTINEL)
+            h = jnp.concatenate([(ck >> jnp.uint64(32)).astype(jnp.uint32),
+                                 sh_])
+            l = jnp.concatenate([ck.astype(jnp.uint32), sl_])
+            tag = jnp.concatenate([jnp.zeros(cap, jnp.int32),
+                                   jnp.ones(cap, jnp.int32)])
+            h, l, tag = jax.lax.sort((h, l, tag), num_keys=3)
+            prev_same = jnp.concatenate([
+                jnp.zeros((1,), bool),
+                (h[1:] == h[:-1]) & (l[1:] == l[:-1])])
+            present = (tag == 1) & prev_same
+            is_subj = (tag == 1) & ~((h == _U32_ONES) & (l == _U32_ONES))
+            uh = jnp.where(is_subj, h, _U32_ONES)
+            ul = jnp.where(is_subj, l, _U32_ONES)
+            flag = jnp.where(is_subj, present.astype(jnp.int32), 0)
+            # unique ascending keys => run sums == the flag itself, and
+            # the compacted order equals the subject table's valid prefix
+            fh, fl, fflag, _n = _rle_compact_hilo(uh, ul, flag, cap)
+            keep = keep & (fflag == 0)
+        mh = jnp.where(keep, sh_, _U32_ONES)
+        ml = jnp.where(keep, sl_, _U32_ONES)
         ms = jnp.where(keep, jnp.minimum(sc, jnp.int64(2**31 - 1))
                        .astype(jnp.int32), 0)
         mh, ml, ms = jax.lax.sort((mh, ml, ms), num_keys=2)
@@ -762,7 +815,7 @@ def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int,
             routed = bins[None]
         rq = routed.reshape(n, route_cap)
         keys, cnts = tk[0], tc[0]
-        idx = jnp.searchsorted(keys, rq)
+        idx = searchsorted_u64(keys, rq)
         idx_c = jnp.minimum(idx, keys.shape[0] - 1)
         ans = jnp.where(keys[idx_c] == rq, cnts[idx_c], 0)
         if n > 1:
