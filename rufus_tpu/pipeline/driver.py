@@ -151,10 +151,36 @@ class RufusPipeline:
             if progress_path:  # clean EOF from the native decoder
                 with open(progress_path, "w") as pf:
                     pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
+        elif is_fastq:
+            # native chunked-memchr fastq scanner (6.8M reads/s measured
+            # vs ~0.5M for the python line parser) with python fallback
+            nf = None
+            try:
+                from ..io import native
+
+                nf = native.NativeFastq(path)
+            except Exception:
+                nf = None
+            if nf is not None:
+                while True:
+                    seq, lens = nf.read_batch(cfg.batch_size, cfg.read_pad)
+                    if len(seq) == 0:
+                        break
+                    if len(seq) < cfg.batch_size:
+                        pad = np.full(
+                            (cfg.batch_size - len(seq), cfg.read_pad),
+                            ord("N"), np.uint8)
+                        seq = np.concatenate([seq, pad])
+                    yield seq
+                nf.close()
+            else:
+                yield from self._python_fastq_batches(path)
+            if progress_path:
+                with open(progress_path, "w") as pf:
+                    pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
         else:
             batch: list[str] = []
-            prog = progress_path if not is_fastq else None
-            for s in self._read_stream(path, progress_path=prog):
+            for s in self._read_stream(path, progress_path=progress_path):
                 batch.append(s)
                 if len(batch) >= cfg.batch_size:
                     r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
@@ -165,9 +191,21 @@ class RufusPipeline:
                 pad = np.full((cfg.batch_size - len(r), cfg.read_pad),
                               ord("N"), np.uint8)
                 yield np.concatenate([r, pad])
-            if is_fastq and progress_path:
-                with open(progress_path, "w") as pf:
-                    pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
+
+    def _python_fastq_batches(self, path: str):
+        cfg = self.cfg
+        batch: list[str] = []
+        for s in self._read_stream(path, progress_path=None):
+            batch.append(s)
+            if len(batch) >= cfg.batch_size:
+                r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
+                yield r
+                batch = []
+        if batch:
+            r, _, _ = fastq.batch_reads(batch, pad_to=cfg.read_pad)
+            pad = np.full((cfg.batch_size - len(r), cfg.read_pad),
+                          ord("N"), np.uint8)
+            yield np.concatenate([r, pad])
 
     @staticmethod
     def _prefetch(gen, depth: int = 3):
@@ -506,14 +544,21 @@ class RufusPipeline:
             # pure Python otherwise
             pair_stream = self._paired_stream(cfg.subject, progress)
         kept = 0
-        with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
+
+        def batches():
             buf = []
             for rec in pair_stream:
                 buf.append(rec)
                 if len(buf) >= cfg.batch_size:
-                    kept += self._filter_batch(buf, keys, f1, f2)
+                    yield buf
                     buf = []
             if buf:
+                yield buf
+
+        with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
+            # decode thread overlaps the device filter (the FIFO
+            # process-pipelining role, as in the count stage)
+            for buf in self._prefetch(batches(), depth=2):
                 kept += self._filter_batch(buf, keys, f1, f2)
         if not cfg.fastq_a and not bam.stream_complete(progress):
             raise RuntimeError(
@@ -525,6 +570,27 @@ class RufusPipeline:
         return m1_path, m2_path
 
     def _fastq_pair_stream(self, a, b):
+        try:
+            from ..io import native
+
+            np_ = native.NativeFastqPairs(a, b)
+        except Exception:
+            np_ = None
+        if np_ is not None:
+            pad = max(self.cfg.read_pad, 1024)  # never truncate real reads
+            while True:
+                names, s1, q1, l1, s2, q2, l2 = np_.read_pair_batch(
+                    4096, pad)
+                if not names:
+                    break
+                for i, nm in enumerate(names):
+                    x, y = int(l1[i]), int(l2[i])
+                    yield (nm, s1[i, :x].tobytes().decode(),
+                           q1[i, :x].tobytes().decode(),
+                           s2[i, :y].tobytes().decode(),
+                           q2[i, :y].tobytes().decode())
+            np_.close()
+            return
         for (n1, s1, q1), (_, s2, q2) in zip(fastq.read_fastq(a), fastq.read_fastq(b)):
             yield n1.split()[0], s1, q1, s2, q2
 

@@ -183,3 +183,55 @@ def test_bam_writer_spec_fixture(tmp_path):
     assert got[0].seq == "ACGTNACGTN" and got[0].cigar == recs[0].cigar
     assert got[1].qual == "*"
     assert got[2].ref_id == -1 and got[2].seq == "TTT"
+
+
+def test_native_fastq_matches_python(tmp_path):
+    """The native chunked fastq scanner decodes byte-identically to the
+    python reader (single and paired), incl. short reads, names with
+    comments, and a final record without a trailing newline."""
+    from rufus_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    r1 = str(tmp_path / "a.R1.fastq")
+    r2 = str(tmp_path / "a.R2.fastq")
+    rng = np.random.default_rng(2)
+    bases = "ACGT"
+    recs = []
+    for i in range(503):
+        L = int(rng.integers(30, 151))
+        s = "".join(bases[j] for j in rng.integers(0, 4, L))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(2, 40, L))
+        recs.append((f"read{i} comment/{i}", s, q))
+    for path, flip in ((r1, False), (r2, True)):
+        with open(path, "w") as f:
+            for n, s, q in recs:
+                f.write(f"@{n}\n{s[::-1] if flip else s}\n+\n{q}\n")
+        # exercise the no-trailing-newline tail
+        with open(path, "rb+") as f:
+            f.seek(-1, 2)
+            f.truncate()
+
+    nf = native.NativeFastq(r1)
+    got = []
+    while True:
+        seq, lens = nf.read_batch(128, 160)
+        if len(seq) == 0:
+            break
+        got.extend(seq[i, : lens[i]].tobytes().decode()
+                   for i in range(len(seq)))
+    assert got == [s for _, s, _ in recs]
+
+    npz = native.NativeFastqPairs(r1, r2)
+    names, allr = [], []
+    while True:
+        nm, s1, q1, l1, s2, q2, l2 = npz.read_pair_batch(100, 160)
+        if not nm:
+            break
+        names.extend(nm)
+        for i in range(len(nm)):
+            allr.append((s1[i, : l1[i]].tobytes().decode(),
+                         q1[i, : l1[i]].tobytes().decode(),
+                         s2[i, : l2[i]].tobytes().decode()))
+    assert names == [n.split()[0] for n, _, _ in recs]
+    assert allr == [(s, q, s[::-1]) for _, s, q in recs]
