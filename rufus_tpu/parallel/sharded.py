@@ -1,25 +1,33 @@
-"""Mesh-sharded k-mer pipeline: device-resident hash-sharded tables.
+"""Mesh-sharded k-mer pipeline: device-resident sharded tables.
 
-Design (scaling-book style): one 1-D mesh over all chips. Reads are
-data-sharded on the batch axis; each sample's count table is sharded by
-a HASH of the canonical k-mer (multiplicative mixer -> owner shard;
-uniform for any genome composition, unlike top-bit partitioning), so
-after one all_to_all per batch, *everything downstream is collective-free*:
+Design (scaling-book style): one 1-D mesh over all chips, LOCAL-
+AGGREGATE counting (the combiner idiom — round 4):
 
-  count:    local window+canonicalize -> bucket-by-owner -> all_to_all
-            over ICI -> local sort+RLE                       (per batch)
-  fold:     local merge of the shard's running table with the batch RLE
-            (LSM fold, no collectives)
-  subtract: N samples' tables share the same prefix partition, so the
-            "present in exactly ONE sample && count >= 5" test
-            (reference modifiedJellyfish/jellyfish/merge_files.cc:69-153)
-            is a purely local concat+sort+runlength test per shard,
-            fused with the subject count-range filter
-            (CheckJellyHashList.sh:12)
-  query:    genotyping lookups are routed to their owner shard by
-            all_to_all, answered by local binary search, routed back
+  count:    per batch, each device only encodes + defers its raw window
+            keys locally (local_count_step) — ZERO per-batch collectives,
+            identical work to the single-chip path
+  flush:    each device sorts its own pending (2 u32 lanes) + RLE-
+            compacts to sorted-unique partials, cuts them at RANGE
+            SPLITTERS (sampled quantiles — canonical min(fwd,rc) skews
+            keys low, so top-bit partitioning would overload shard 0; the
+            partials are already sorted so routing needs NO extra sort),
+            and all_to_alls only the unique (key, count) pairs —
+            O(unique) per flush, not O(windows) per batch
+  fold:     local merge of the shard's running table with the received
+            runs (LSM fold, no collectives)
+  subtract: every sample's table shares the splitters, so the "present
+            in exactly ONE sample && count >= 5" test (reference
+            modifiedJellyfish/jellyfish/merge_files.cc:69-153) fused
+            with the subject count-range filter (CheckJellyHashList.sh:12)
+            is local per shard: a tagged sort-merge membership test
+  query:    genotyping lookups are routed to their owner shard (hash or
+            splitters) by all_to_all, answered by local u32-plane
+            bisection, routed back
   filter:   data-parallel over reads with the (small) mutant HashList
             replicated (RUFUS.Filter.cpp:196-277 role)
+
+The per-batch hash-routed count step (sharded_count_step at n>1) is kept
+as an alternative for streaming-latency-sensitive deployments.
 
 Determinism: table contents are sorted-unique and independent of shard
 count and batch boundaries (the parity requirement of SURVEY.md §7.3);
