@@ -268,14 +268,6 @@ class RufusPipeline:
         bcap = (cfg.batch_size // n_dev) * (cfg.read_pad - cfg.k + 1)
         if self._route_cap is None:
             self._route_cap = route_capacity(bcap, n_dev)
-            if n_dev > 1:
-                self._log(
-                    f"count routing: {n_dev} devices, route_cap="
-                    f"{self._route_cap}/peer -> "
-                    f"{n_dev * self._route_cap * 12} B exchanged per device "
-                    f"per batch (12 B/slot: u64 key + i32 run count; "
-                    f"<= {bcap * 12} B useful payload; O(batch), "
-                    f"independent of device count)")
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
         meter = Throughput(name=f"count[{stub}] reads")
