@@ -109,3 +109,47 @@ def test_final_outputs_byte_parity(chain):
     got_side = "".join(l + "\n" for l in chain["side"])
     assert got_side == _read(
         os.path.join(GOLD, f"{NS}.overlap.asembly.hash.fastq"))
+
+
+@pytest.fixture(scope="module")
+def vf_chain():
+    """Our veryfast assembly chain on the |TLEN|>150 subset of input.sam
+    (Overlap.shorter.sh:90-117 argv: OverlapSam .99/25/3, ONE Overlap
+    round .99/75/5/15). Fixtures from the compiled reference binaries via
+    `python tools/regen_goldens.py veryfast` (VERDICT r3 weak #7)."""
+    from rufus_tpu.assembly import annotate
+    from rufus_tpu.assembly.overlap_sam import overlap_sam
+    from rufus_tpu.assembly.overlap_rounds import overlap_round
+    from rufus_tpu.io import hashlist as hio
+
+    class Rec:
+        def __init__(self, flag, seq, qual):
+            self.flag, self.seq, self.qual = flag, seq, qual
+
+    records = []
+    for line in open(os.path.join(GOLD, "input.sam")):
+        f = line.rstrip("\n").split("\t")
+        if abs(int(f[8])) > 150:  # the reference's awk TLEN filter
+            records.append(Rec(int(f[1]), f[9], f[10]))
+    strs, cnts = hio.read_hashlist(
+        os.path.join(GOLD, "Child.bam.generator.k25_c4.HashList"))
+    out = {}
+    r0, _ = overlap_sam(records, strs, NS, 0.99, 25, 3, 25)
+    out["sam"] = r0
+    rf, _ = overlap_round(r0, NS, 0.99, 75, 5, 15, 1, 1, buffer_size=200)
+    out["final"] = rf
+    rq = annotate.replace_qual_with_depth(rf)
+    fq = annotate.fastqd_to_fastq(rq)
+    ann, _side = annotate.annotate_overlap(list(zip(strs, cnts)), fq, 25)
+    out["ann"] = ann
+    return out
+
+
+def test_veryfast_round_byte_parity(vf_chain):
+    got = _records_to_fastqd_text(vf_chain["sam"])
+    assert got == _read(os.path.join(GOLD, f"vf.{NS}.sam.fastqd"))
+    got = _records_to_fastqd_text(vf_chain["final"])
+    assert got == _read(os.path.join(GOLD, f"vf.{NS}.final.fastqd"))
+    got_ann = "".join(f"@{n}\n{s}\n+\n{q}\n" for n, s, q in vf_chain["ann"])
+    assert got_ann == _read(
+        os.path.join(GOLD, f"vf.{NS}.overlap.hashcount.fastq"))
