@@ -127,6 +127,13 @@ struct FastqFile {
 
 struct FastqPair {
   FastqFile a, b;
+  // one-record pushback: an R1 record whose name overflowed the caller's
+  // names buffer is parked here instead of being lost — by the time the
+  // overflow is detected the record has already been consumed from the
+  // gzip stream, and a naive "grow and retry" would silently drop it and
+  // every earlier pair of the batch, desyncing R1/R2 forever.
+  std::string pend_name, pend_seq, pend_qual;
+  bool has_pend = false;
   FastqPair(const char* p1, const char* p2) : a(p1), b(p2) {}
 };
 
@@ -187,15 +194,40 @@ long fastq_pair_read_batch(void* h, long max_reads, long pad, uint8_t* s1,
   long noff = 0;
   const char *nm, *sq, *ql;
   size_t nm_n, sq_n, ql_n;
+  std::string hn, hs, hq;  // keeps a resumed pushback record alive
   name_off[0] = 0;
   while (n < max_reads) {
-    int r = p->a.next_record(&nm, &nm_n, &sq, &sq_n, &ql, &ql_n);
-    if (r == 0) break;
-    if (r < 0) return -1;
+    if (p->has_pend) {
+      hn.swap(p->pend_name);
+      hs.swap(p->pend_seq);
+      hq.swap(p->pend_qual);
+      p->has_pend = false;
+      nm = hn.data();
+      nm_n = hn.size();
+      sq = hs.data();
+      sq_n = hs.size();
+      ql = hq.data();
+      ql_n = hq.size();
+    } else {
+      int r = p->a.next_record(&nm, &nm_n, &sq, &sq_n, &ql, &ql_n);
+      if (r == 0) break;
+      if (r < 0) return -1;
+    }
     // R1 name, cut at first space
     const char* sp = (const char*)memchr(nm, ' ', nm_n);
     size_t cut = sp ? (size_t)(sp - nm) : nm_n;
-    if (noff + (long)cut + 1 > names_cap) return -2;  // grow and retry
+    if (noff + (long)cut + 1 > names_cap) {
+      // lossless overflow: park the already-consumed R1 record and hand
+      // back the pairs decoded so far (a short batch, NOT end-of-stream);
+      // only when even the first record doesn't fit does the caller need
+      // to grow the buffer and retry (-2) — the record survives in the
+      // handle either way.
+      p->pend_name.assign(nm, nm_n);
+      p->pend_seq.assign(sq, sq_n);
+      p->pend_qual.assign(ql, ql_n);
+      p->has_pend = true;
+      return n > 0 ? n : -2;
+    }
     memcpy(names + noff, nm, cut);
     noff += (long)cut;
     names[noff++] = 0;
@@ -203,8 +235,8 @@ long fastq_pair_read_batch(void* h, long max_reads, long pad, uint8_t* s1,
     l1[n] = (int32_t)(sq_n < (size_t)pad ? sq_n : (size_t)pad);
     put_row(q1 + n * pad, pad, ql, ql_n);
 
-    r = p->b.next_record(&nm, &nm_n, &sq, &sq_n, &ql, &ql_n);
-    if (r <= 0) return -1;  // R2 shorter than R1
+    int r2 = p->b.next_record(&nm, &nm_n, &sq, &sq_n, &ql, &ql_n);
+    if (r2 <= 0) return -1;  // R2 shorter than R1
     put_row(s2 + n * pad, pad, sq, sq_n);
     l2[n] = (int32_t)(sq_n < (size_t)pad ? sq_n : (size_t)pad);
     put_row(q2 + n * pad, pad, ql, ql_n);

@@ -11,5 +11,6 @@ mapping)."""
 from .sharded import (ShardedKmerTable, local_count_step, make_mesh,
                       make_splitters, route_capacity,
                       sharded_count_step, sharded_fold_step,
-                      sharded_filter_step, sharded_query_step,
+                      sharded_filter_step, sharded_query_multi,
+                      sharded_query_step,
                       sharded_subtract_step)  # noqa: F401

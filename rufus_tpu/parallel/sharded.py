@@ -132,12 +132,18 @@ def searchsorted_u64(keys, q):
     ql = q.astype(jnp.uint32)
     lo = jnp.zeros(q.shape, jnp.int32)
     hi = jnp.full(q.shape, n, jnp.int32)
-    for _ in range(max(1, int(n - 1).bit_length())):
+    # bisection over the CLOSED interval [0, n]: n.bit_length() rounds
+    # (one more than (n-1).bit_length() — the shorter count left stragglers
+    # unconverged), and the compare is masked so keys[n] acts as +inf
+    # (otherwise the clamped midc = n-1 compare pushes lo past n once
+    # lo == hi == n). Property-tested against np.searchsorted.
+    for _ in range(max(1, int(n).bit_length())):
         mid = (lo + hi) >> 1
         midc = jnp.minimum(mid, n - 1)
         mh = kh[midc]
         ml = kl[midc]
         less = (mh < qh) | ((mh == qh) & (ml < ql))
+        less = less & (mid < n)
         lo = jnp.where(less, mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
@@ -482,25 +488,35 @@ def local_count_step(mesh, k: int):
 
 
 def make_splitters(keys_arr, n_shards: int, sample: int = 1 << 16):
-    """Range-partition splitters from a (sharded or host) key array.
+    """Range-partition splitters from one — or a list of — (sharded or
+    host) key arrays.
 
     Returns a host (n_shards-1,) u64 array of quantile boundaries — key k
     belongs to shard searchsorted(splitters, k, side='right'). Computed
     from a systematic sample, so the partition is balanced for the ACTUAL
     key distribution (canonical k-mers are heavily skewed low — a naive
     top-bit partition would load shard 0 with most of the table).
-    Deterministic given the data; different batch sizes or device counts
-    change placement only, never table content."""
-    if (hasattr(keys_arr, "is_fully_addressable")
-            and not keys_arr.is_fully_addressable):
-        # multi-process mesh: subsample per shard on device, then gather
-        # the small sample to every process
-        from jax.experimental import multihost_utils
+    Passing several spaced batches matters for coordinate-sorted BAM
+    input: a single batch covers one genomic locality whose quantiles can
+    differ from the genome-wide distribution, skewing shard load for the
+    whole run. Deterministic given the data; different batch sizes or
+    device counts change placement only, never table content."""
+    arrs = (list(keys_arr) if isinstance(keys_arr, (list, tuple))
+            else [keys_arr])
+    per = max(1, sample // max(1, len(arrs)))
+    pools = []
+    for a in arrs:
+        stride = max(1, a.shape[-1] // max(1, per))
+        a = a[..., ::stride]
+        if (hasattr(a, "is_fully_addressable")
+                and not a.is_fully_addressable):
+            # multi-process mesh: subsample per shard on device, then
+            # gather the small sample to every process
+            from jax.experimental import multihost_utils
 
-        stride = max(1, keys_arr.shape[-1] // max(1, sample))
-        keys_arr = multihost_utils.process_allgather(
-            keys_arr[..., ::stride], tiled=True)
-    ks = np.asarray(keys_arr).ravel()
+            a = multihost_utils.process_allgather(a, tiled=True)
+        pools.append(np.asarray(a).ravel())
+    ks = np.concatenate(pools)
     ks = ks[ks != count.SENTINEL]
     if len(ks) == 0:
         return np.linspace(0, float(count.SENTINEL), n_shards + 1,
@@ -568,6 +584,10 @@ def _route_partials_step(mesh, route_cap: int):
             searchsorted_u64(keys, jnp.full((1,), count.SENTINEL,
                                             jnp.uint64)),
         ]).astype(jnp.int32)
+        # belt-and-braces for the completely-full-partial case (no
+        # sentinel slots): bounds can never legitimately exceed the
+        # partial's width
+        bounds = jnp.minimum(bounds, jnp.int32(keys.shape[0]))
         seg_len = bounds[1:] - bounds[:-1]
         dropped = jnp.sum(
             jnp.maximum(seg_len - route_cap, 0).astype(jnp.int64))
@@ -745,7 +765,11 @@ def sharded_subtract_step(mesh, n_samples: int):
             h = jnp.concatenate([(ck >> jnp.uint64(32)).astype(jnp.uint32),
                                  sh_])
             l = jnp.concatenate([ck.astype(jnp.uint32), sl_])
-            tag = jnp.concatenate([jnp.zeros(cap, jnp.int32),
+            # each sample's table is independently shrink()-ed, so the
+            # control's capacity routinely differs from the subject's —
+            # the tag plane must use the CONTROL's own width or lax.sort
+            # rejects the mismatched operand shapes
+            tag = jnp.concatenate([jnp.zeros(k_[0].shape[0], jnp.int32),
                                    jnp.ones(cap, jnp.int32)])
             h, l, tag = jax.lax.sort((h, l, tag), num_keys=3)
             prev_same = jnp.concatenate([
@@ -842,6 +866,116 @@ def _sharded_query_step(mesh, k: int, qcap: int, route_cap: int,
     in_specs = (P(axis), P(axis), P(axis)) + ((P(),) if by_splitters else ())
     f = shard_map(local, mesh=mesh, in_specs=in_specs,
                   out_specs=(P(axis), P()), check_vma=False)
+    return jax.jit(f)
+
+
+def sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
+                        route_cap: int | None = None,
+                        by_splitters: bool = False):
+    """One routed dispatch answering the SAME query set against N sharded
+    tables — the genotyping-pull hot path (Overlap.shorter.sh:265-303
+    backgrounds one `jellyfish query` per sample; here route/return/
+    un-route costs amortize over all samples, and the per-sample work is
+    only the local bisection).
+
+    Routing is SORT-based, not scatter-based: queries sort by (owner,
+    key) with their index as payload, segments cut by native-i32
+    searchsorted, rows gathered with dynamic slices — no variable-index
+    scatters (XLA lowers large scatters near-serially on TPU, measured
+    ~9M el/s; multi-lane sorts are the proven-fast primitive). The
+    un-route is one more payload sort by original index.
+
+    queries: (S, qcap) u64 data-sharded. keys_list/cnts_list: per-sample
+    (S, cap_i) sharded planes (capacities may differ). Returns
+    ((n_tables, S, qcap) i32 counts, dropped). Counts clamp to i32 —
+    genotype pulls cap at ~1e5 (Overlap.shorter.sh:20). dropped > 0 =>
+    retry with doubled route_cap."""
+    if route_cap is None:
+        route_cap = route_capacity(qcap, mesh.devices.size)
+    return _sharded_query_multi(mesh, k, qcap, n_tables, route_cap,
+                                by_splitters)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
+                         route_cap: int, by_splitters: bool):
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+
+    def local(queries, keys_list, cnts_list, *split):
+        q = queries.reshape(-1)
+        if by_splitters:
+            owner = _owners_by_splitters(q, split[0], n)
+        else:
+            owner = _owners(q, n, k)
+        qh = (q >> jnp.uint64(32)).astype(jnp.uint32)
+        ql = q.astype(jnp.uint32)
+        idx = jnp.arange(qcap, dtype=jnp.int32)
+        # deterministic 3-key sort (owner, key) with the original index as
+        # payload; SENTINEL queries carry owner == n and sort to the tail
+        owner_s, qh_s, ql_s, idx_s = jax.lax.sort(
+            (owner, qh, ql, idx), num_keys=3)
+        starts = jnp.searchsorted(
+            owner_s, jnp.arange(n + 1, dtype=jnp.int32)).astype(jnp.int32)
+        seg_len = starts[1:] - starts[:-1]
+        dropped = jnp.sum(
+            jnp.maximum(seg_len - route_cap, 0).astype(jnp.int64))
+        hpad = jnp.concatenate([qh_s, jnp.full((route_cap,), _U32_ONES)])
+        lpad = jnp.concatenate([ql_s, jnp.full((route_cap,), _U32_ONES)])
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, route_cap), 1)
+        in_seg = col < seg_len[:, None]
+        hrows = jnp.stack([jax.lax.dynamic_slice(hpad, (starts[s],),
+                                                 (route_cap,))
+                           for s in range(n)])
+        lrows = jnp.stack([jax.lax.dynamic_slice(lpad, (starts[s],),
+                                                 (route_cap,))
+                           for s in range(n)])
+        rq = jnp.where(in_seg,
+                       (hrows.astype(jnp.uint64) << jnp.uint64(32))
+                       | lrows.astype(jnp.uint64),
+                       count.SENTINEL)
+        if n > 1:
+            routed = jax.lax.all_to_all(rq[None], axis, split_axis=1,
+                                        concat_axis=0, tiled=False)
+        else:
+            routed = rq[None]
+        rqf = routed.reshape(-1)  # (n*route_cap,) queries owned here
+        answers = []
+        for keys, cnts in zip(keys_list, cnts_list):
+            tkeys, tcnts = keys[0], cnts[0]
+            ix = searchsorted_u64(tkeys, rqf)
+            ixc = jnp.minimum(ix, tkeys.shape[0] - 1)
+            hit = tkeys[ixc] == rqf
+            ans = jnp.where(hit,
+                            jnp.minimum(tcnts[ixc],
+                                        jnp.int64(2**31 - 1)), 0)
+            answers.append(ans.astype(jnp.int32).reshape(n, route_cap))
+        ast = jnp.stack(answers, axis=1)  # (n_src, T, route_cap)
+        if n > 1:
+            back = jax.lax.all_to_all(ast[None], axis, split_axis=1,
+                                      concat_axis=0, tiled=False)
+            dropped = jax.lax.psum(dropped, axis)
+        else:
+            back = ast[None]
+        back = back.reshape(n, n_tables, route_cap)
+        # un-route: sorted position j sat at (segment owner_s[j], column
+        # j - starts[owner_s[j]]); gather, then ONE payload sort by the
+        # original index restores query order for every table at once
+        owner_c = jnp.minimum(owner_s, n - 1)
+        colq = idx - starts[owner_c]
+        valid = (owner_s < n) & (colq < route_cap) & (colq >= 0)
+        flatpos = jnp.where(valid, owner_c * route_cap
+                            + jnp.minimum(colq, route_cap - 1), 0)
+        lanes = [jnp.where(valid, back[:, t, :].reshape(-1)[flatpos], 0)
+                 for t in range(n_tables)]
+        unsorted = jax.lax.sort((idx_s, *lanes), num_keys=1)
+        out = jnp.stack(unsorted[1:], axis=0)  # (T, qcap)
+        return out[:, None, :], dropped
+
+    in_specs = (P(axis), [P(axis)] * n_tables, [P(axis)] * n_tables) + (
+        (P(),) if by_splitters else ())
+    f = shard_map(local, mesh=mesh, in_specs=in_specs,
+                  out_specs=(P(None, axis), P()), check_vma=False)
     return jax.jit(f)
 
 

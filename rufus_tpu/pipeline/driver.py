@@ -285,20 +285,36 @@ class RufusPipeline:
             from ..parallel import local_count_step, make_splitters
 
             lstep = local_count_step(mesh, cfg.k)
+            # one partition for the whole run: every sample's table must
+            # share it (the subtract is local per shard only because
+            # partitions align). Splitters come from SEVERAL spaced
+            # batches — coordinate-sorted BAM input makes any single
+            # batch one genomic locality whose k-mer quantiles skew the
+            # genome-wide partition — frozen before the first flush
+            # needs them (folds only buffer until the pending budget).
+            split_pool: list = []
             for seq in stream:
                 reads_d = jax.device_put(jnp.asarray(seq), sharding)
                 bk, _nn = lstep(reads_d)
                 if self._splitters is None:
-                    # one partition for the whole run: every sample's
-                    # table must share it (the subtract is local per
-                    # shard only because partitions align)
-                    self._splitters = make_splitters(bk, n_dev)
-                    self._log(f"count routing: {n_dev} shards, range "
-                              f"splitters from the first batch "
-                              f"(local-aggregate flush)")
+                    split_pool.append(bk)
+                    if (len(split_pool) >= 16
+                            or dev._pending_els + bk.shape[-1]
+                            >= dev._pending_budget):
+                        self._splitters = make_splitters(split_pool, n_dev)
+                        self._log(f"count routing: {n_dev} shards, range "
+                                  f"splitters from the first "
+                                  f"{len(split_pool)} batches "
+                                  f"(local-aggregate flush)")
+                        split_pool = []
                 dev.splitters = self._splitters
                 dev.fold_batch(bk)
                 meter.add(seq.shape[0])
+            if self._splitters is None:
+                # short stream: freeze from whatever was seen
+                self._splitters = make_splitters(split_pool, n_dev)
+                split_pool = []
+                dev.splitters = self._splitters
         else:
             # single chip: raw keys defer everything to the fold
             step = sharded_count_step(mesh, cfg.k, bcap, self._route_cap)
@@ -850,6 +866,50 @@ class RufusPipeline:
                       f"route_cap={rcap}")
         return np.asarray(out).ravel()[:Q]
 
+    def _routed_query_multi(self, devs: list, kmers: np.ndarray):
+        """One routed dispatch answering `kmers` against EVERY sample's
+        device-resident table (parallel.sharded_query_multi): the route /
+        exchange / un-route work is paid once, per-sample cost is only
+        the local bisection. Returns a (n_samples, len(kmers)) array.
+        qcap rounds up to a power of two so repeated pulls of different
+        sizes reuse the same compiled step."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import route_capacity, sharded_query_multi
+
+        cfg = self.cfg
+        n = self.n_devices
+        Q = len(kmers)
+        qcap = 128
+        while qcap * n < Q:
+            qcap *= 2
+        padded = np.full(n * qcap, count.SENTINEL, np.uint64)
+        padded[:Q] = kmers
+        sh = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
+        q_dev = jax.device_put(jnp.asarray(padded.reshape(n, qcap)), sh)
+        rcap = route_capacity(qcap, n)
+        by_split = devs[0].splitters is not None and n > 1
+        args = []
+        if by_split:
+            rep = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec())
+            args = [jax.device_put(
+                jnp.asarray(devs[0].splitters, jnp.uint64), rep)]
+        keys = [d.keys for d in devs]
+        cnts = [d.counts for d in devs]
+        while True:
+            step = sharded_query_multi(self.mesh, cfg.k, qcap, len(devs),
+                                       rcap, by_splitters=by_split)
+            out, dropped = step(q_dev, keys, cnts, *args)
+            if int(np.asarray(dropped).sum()) == 0:
+                break
+            rcap *= 2
+            self._log(f"routed multi-query overflowed bins; retrying "
+                      f"with route_cap={rcap}")
+        return np.asarray(out).reshape(len(devs), -1)[:, :Q]
+
     def stage_contig_align(self, contigs_path: str, tables):
         cfg = self.cfg
         ns = cfg.name_stub
@@ -936,38 +996,58 @@ class RufusPipeline:
                 for s, c in zip(codec.kmers_to_strs(t.keys, cfg.k), t.counts):
                     f.write(f"{s} {c}\n")
 
-        def pull(tab_path, table, out, stub=None):
+        # batched genotyping pulls: each tab's k-mer set is canonicalized
+        # ONCE and — when every sample's table is device-resident — routed
+        # in a SINGLE multi-table dispatch (route/return amortize over all
+        # samples; the reference backgrounds one `jellyfish query` per
+        # sample, Overlap.shorter.sh:265-303)
+        stubs = [cfg.subject_stub] + [cfg.control_stub(c)
+                                      for c in cfg.controls]
+        host_tabs = [tables["subject"]] + list(tables["controls"])
+
+        def pull_all(tab_path, out_paths):
             strs = [l.split()[0] for l in open(tab_path)]
             if strs:
                 canon = [codec.canonical_str(s) for s in strs]
                 km = codec.strs_to_kmers(canon, cfg.k)
-                dev = self._dev_tables.get(stub) if stub else None
-                if dev is not None:
-                    # device-resident table: route queries to owner
-                    # shards — no host gather of the table, ever
-                    cnts = self._routed_query(dev, km)
+                devs = [self._dev_tables.get(s) for s in stubs]
+                if all(d is not None for d in devs):
+                    # device-resident tables: one routed dispatch answers
+                    # every sample — no host gather of any table, ever
+                    cnts_all = self._routed_query_multi(devs, km)
                 else:
-                    cnts = table.query(km)
+                    cnts_all = [self._routed_query(d, km)
+                                if d is not None else t.query(km)
+                                for d, t in zip(devs, host_tabs)]
             else:
-                cnts = []
+                cnts_all = [[] for _ in stubs]
+            for out, cnts in zip(out_paths, cnts_all):
+                with open(out, "w") as f:
+                    for s, c in zip(strs, cnts):
+                        if 0 <= c <= cfg.genotype_max_cov:
+                            f.write(f"{s} {c}\n")
+
+        subj_alt = inter(ns + ".overlap.asembly.hash.fastq.sample")
+        subj_ref = inter(ns + ".overlap.asembly.hash.fastq.Ref.sample")
+        par_alt_paths, par_ref_paths = [], []
+        for c in cfg.controls:
+            stub = cfg.control_stub(c)
+            par_alt_paths.append(
+                inter(f"{ns}.overlap.asembly.hash.fastq.{stub}.Jhash"))
+            par_ref_paths.append(
+                inter(f"{ns}.overlap.asembly.hash.fastq.Ref.{stub}.Jhash"))
+        pull_all(tab_alt, [subj_alt] + par_alt_paths)
+        pull_all(tab_ref, [subj_ref] + par_ref_paths)
+
+        def pull(tab_path, table, out):
+            # host-table point pull (exclude/repeat hashes)
+            strs = [l.split()[0] for l in open(tab_path)]
+            cnts = table.query(codec.strs_to_kmers(
+                [codec.canonical_str(s) for s in strs], cfg.k)) if strs else []
             with open(out, "w") as f:
                 for s, c in zip(strs, cnts):
                     if 0 <= c <= cfg.genotype_max_cov:
                         f.write(f"{s} {c}\n")
-
-        subj_alt = inter(ns + ".overlap.asembly.hash.fastq.sample")
-        subj_ref = inter(ns + ".overlap.asembly.hash.fastq.Ref.sample")
-        pull(tab_alt, tables["subject"], subj_alt, stub=cfg.subject_stub)
-        pull(tab_ref, tables["subject"], subj_ref, stub=cfg.subject_stub)
-        par_alt_paths, par_ref_paths = [], []
-        for c, t in zip(cfg.controls, tables["controls"]):
-            stub = cfg.control_stub(c)
-            pa = inter(f"{ns}.overlap.asembly.hash.fastq.{stub}.Jhash")
-            pr = inter(f"{ns}.overlap.asembly.hash.fastq.Ref.{stub}.Jhash")
-            pull(tab_alt, t, pa, stub=stub)
-            pull(tab_ref, t, pr, stub=stub)
-            par_alt_paths.append(pa)
-            par_ref_paths.append(pr)
 
         # exclude / repeat reference hash
         rep_ref = inter(ns + ".ref.RepRefHash")

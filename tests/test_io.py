@@ -235,3 +235,46 @@ def test_native_fastq_matches_python(tmp_path):
                          s2[i, : l2[i]].tobytes().decode()))
     assert names == [n.split()[0] for n, _, _ in recs]
     assert allr == [(s, q, s[::-1]) for _, s, q in recs]
+
+
+def test_native_fastq_pair_names_overflow_lossless(tmp_path):
+    """Round-4 advisor medium finding: when a batch's R1 names overflow
+    the names buffer, the already-consumed record must NOT be dropped —
+    the decoder parks it and returns a short batch (or -2 only when even
+    the first record doesn't fit), keeping R1/R2 in perfect sync."""
+    from rufus_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    r1 = str(tmp_path / "ov.R1.fastq")
+    r2 = str(tmp_path / "ov.R2.fastq")
+    # names long enough that a 4096-pair batch with the initial 1 MiB cap
+    # overflows repeatedly: ~600-byte names x 4096 pairs ~= 2.4 MiB
+    n_recs = 4500
+    recs = []
+    for i in range(n_recs):
+        name = f"read{i:05d}_" + "x" * 600
+        s = "ACGT" * 10
+        q = "I" * 40
+        recs.append((name, s, q))
+    for path, flip in ((r1, False), (r2, True)):
+        with open(path, "w") as f:
+            for n, s, q in recs:
+                f.write(f"@{n} comment\n{s[::-1] if flip else s}\n+\n{q}\n")
+
+    npz = native.NativeFastqPairs(r1, r2)
+    names, seqs2 = [], []
+    short_batches = 0
+    while True:
+        nm, s1, q1, l1, s2, q2, l2 = npz.read_pair_batch(4096, 64)
+        if not nm:
+            break
+        if len(nm) < 4096:
+            short_batches += 1
+        names.extend(nm)
+        seqs2.extend(s2[i, : l2[i]].tobytes().decode()
+                     for i in range(len(nm)))
+    npz.close()
+    assert short_batches >= 1, "fixture must exercise the overflow path"
+    assert names == [n for n, _, _ in recs]  # nothing dropped, in order
+    assert seqs2 == [s[::-1] for _, s, _ in recs]  # R1/R2 still in sync

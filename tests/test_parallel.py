@@ -347,3 +347,118 @@ def test_local_aggregate_flush_matches_host(n_dev):
     want = _host_table(reads, k)
     np.testing.assert_array_equal(host.keys, want.keys)
     np.testing.assert_array_equal(host.counts, want.counts)
+
+
+def test_searchsorted_u64_matches_numpy():
+    """Property test (round-4 advisor high finding): the manual u32-plane
+    bisection must match np.searchsorted(side='left') exactly — including
+    queries above every key (which previously overshot to n+1 once
+    lo == hi == n) — across power-of-two AND odd table sizes."""
+    from rufus_tpu.parallel.sharded import searchsorted_u64
+
+    rng = np.random.default_rng(11)
+    for n in [1, 2, 3, 5, 7, 8, 100, 127, 128, 129, 1000, 4096]:
+        keys = np.sort(rng.integers(0, 2**63, n, dtype=np.uint64)
+                       .astype(np.uint64))
+        # queries: random, exact hits, 0, and above-all-keys extremes
+        q = np.concatenate([
+            rng.integers(0, 2**64, 5000, dtype=np.uint64),
+            keys[rng.integers(0, n, min(n, 64))],
+            np.array([0, keys[-1], np.uint64(2**64 - 1)], np.uint64),
+        ])
+        got = np.asarray(searchsorted_u64(jnp.asarray(keys), jnp.asarray(q)))
+        want = np.searchsorted(keys, q, side="left")
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+        assert got.max() <= n
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_subtract_unequal_capacities(n_dev):
+    """Round-4 advisor high finding: per-sample tables are independently
+    shrink()-ed to different power-of-two capacities; the tagged
+    sort-merge membership test must handle a control table narrower than
+    the subject's (previously lax.sort rejected the mismatched shapes)."""
+    k = 13
+    rng = np.random.default_rng(21)
+    # subject: many reads -> big table; control: few reads -> small table
+    subj_reads = rng.choice(BASES, size=(16 * n_dev, 64)).astype(np.uint8)
+    ctrl_reads = subj_reads[: 2 * n_dev].copy()
+    mesh = make_mesh(n_dev)
+    subj = _build_sharded(mesh, subj_reads, k, cap=16 * 64)
+    ctrl = _build_sharded(mesh, ctrl_reads, k, cap=16 * 64)
+    subj.shrink()
+    ctrl.shrink()
+    assert subj.capacity != ctrl.capacity, "fixture must exercise the case"
+    step = sharded_subtract_step(mesh, 2)
+    mk, mc = step([subj.keys, ctrl.keys], [subj.counts, ctrl.counts],
+                  jnp.int64(1), jnp.int64(1), jnp.int64(10**6))
+    got_keys = np.asarray(mk).ravel()
+    got_cnts = np.asarray(mc).ravel()
+    keep = got_keys != count.SENTINEL
+    got = dict(zip(got_keys[keep].tolist(), got_cnts[keep].tolist()))
+    hs = _host_table(subj_reads, k)
+    hc = _host_table(ctrl_reads, k)
+    ref = count.subtract_unique([hs, hc], merge_min=1)
+    sc = hs.query(ref)
+    sel = (sc >= 1) & (sc <= 10**6)
+    want = dict(zip(ref[sel].tolist(), sc[sel].tolist()))
+    assert got == want
+
+
+def test_make_splitters_accepts_batch_list():
+    """Splitters pooled over several spaced batches (round-4 advisor low
+    finding): a list of key arrays must yield the quantiles of the POOLED
+    distribution, not the first batch's locality."""
+    from rufus_tpu.parallel import make_splitters
+
+    # batch 0 is all-low keys, batch 1 all-high: single-batch splitters
+    # would put everything on one shard
+    lo = np.arange(0, 4096, dtype=np.uint64)
+    hi = np.arange(2**40, 2**40 + 4096, dtype=np.uint64)
+    s_pooled = make_splitters([jnp.asarray(lo), jnp.asarray(hi)], 2)
+    assert s_pooled.shape == (1,)
+    # the pooled median separates the two clouds
+    assert lo.max() < s_pooled[0] <= hi.max()
+    s_first = make_splitters(jnp.asarray(lo), 2)
+    assert s_first[0] < 4096  # the locality skew the pooling avoids
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_query_multi_matches_host(n_dev):
+    """The single-dispatch multi-table genotyping pull: route once,
+    answer against every sample's table, un-route — must equal per-table
+    host queries exactly, incl. tables of unequal capacity and SENTINEL-
+    padded query slots."""
+    from rufus_tpu.parallel import sharded_query_multi
+
+    k = 13
+    rng = np.random.default_rng(31)
+    reads = [rng.choice(BASES, size=(16 * n_dev, 64)).astype(np.uint8)
+             for _ in range(3)]
+    reads[2] = reads[2][: 4 * n_dev]  # third table smaller capacity
+    mesh = make_mesh(n_dev)
+    devs = [_build_sharded(mesh, r, k, cap=16 * 64) for r in reads]
+    for d in devs:
+        d.shrink()
+    hosts = [d.to_host() for d in devs]
+    # queries: hits from each table + randoms + explicit sentinels
+    q = np.concatenate([
+        hosts[0].keys[rng.integers(0, len(hosts[0].keys), 20)],
+        hosts[2].keys[rng.integers(0, len(hosts[2].keys), 20)],
+        np.asarray(codec.canonical_kmers(jnp.asarray(
+            rng.integers(0, 1 << (2 * k), 24, dtype=np.uint64)), k)),
+    ])
+    qcap = -(-len(q) // n_dev)
+    qcap = max(8, qcap)
+    padded = np.full(n_dev * qcap, count.SENTINEL, np.uint64)
+    padded[: len(q)] = q
+    qd = _shard(mesh, padded.reshape(n_dev, qcap))
+    step = sharded_query_multi(mesh, k, qcap, 3)
+    out, dropped = step(qd, [d.keys for d in devs],
+                        [d.counts for d in devs])
+    assert int(np.asarray(dropped).sum()) == 0
+    got = np.asarray(out).reshape(3, -1)[:, : len(q)]
+    for t in range(3):
+        np.testing.assert_array_equal(got[t], hosts[t].query(q))
