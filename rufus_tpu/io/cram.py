@@ -190,6 +190,23 @@ def _parse_encoding(buf: io.BytesIO):
     return codec, params
 
 
+class _CoreBits:
+    """MSB-first bit cursor over a slice's core block. CRAM core-encoded
+    series interleave per record in ONE bitstream (spec 8.3), so every
+    decoder of a slice shares a single _CoreBits instance."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        p = self.pos
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (7 - (p & 7))) & 1
+
+
 class _Decoder:
     """One data series' decoder bound to its blocks."""
 
@@ -206,8 +223,31 @@ class _Decoder:
             nlen = read_itf8(p)
             self.lengths = [read_itf8(p) for _ in range(nlen)]
             if any(l != 0 for l in self.lengths):
-                raise NotImplementedError(
-                    "only zero-bit (single symbol) HUFFMAN supported")
+                # general canonical Huffman (spec 13.4 / htslib
+                # cram_codecs.c): symbols sorted by (code length, symbol
+                # value); codes assigned incrementally, left-shifted at
+                # each length increase. Decode walks the shared core
+                # bitstream one bit at a time against per-length
+                # first-code windows.
+                order = sorted(range(nsym),
+                               key=lambda i: (self.lengths[i],
+                                              self.symbols[i]))
+                self._sym_sorted = [self.symbols[i] for i in order]
+                self._first_code = {}   # length -> first canonical code
+                self._offset = {}       # length -> index into _sym_sorted
+                self._count = {}
+                code, prev_len = 0, self.lengths[order[0]]
+                for rank, i in enumerate(order):
+                    ln = self.lengths[i]
+                    code <<= (ln - prev_len)
+                    prev_len = ln
+                    if ln not in self._first_code:
+                        self._first_code[ln] = code
+                        self._offset[ln] = rank
+                        self._count[ln] = 0
+                    self._count[ln] += 1
+                    code += 1
+                self._max_len = max(self.lengths)
         elif codec == E_BYTE_ARRAY_STOP:
             self.stop = p.read(1)[0]
             self.buf = io.BytesIO(ext_blocks.get(read_itf8(p), b""))
@@ -219,18 +259,31 @@ class _Decoder:
         else:
             raise NotImplementedError(f"CRAM encoding codec {codec}")
 
+    def _read_huffman(self) -> int:
+        if not any(self.lengths):
+            return self.symbols[0]  # zero-bit degenerate form
+        bits = self.core
+        code, ln = 0, 0
+        while ln < self._max_len:
+            code = (code << 1) | bits.read_bit()
+            ln += 1
+            first = self._first_code.get(ln)
+            if first is not None and 0 <= code - first < self._count[ln]:
+                return self._sym_sorted[self._offset[ln] + code - first]
+        raise ValueError("corrupt HUFFMAN core stream")
+
     def read_int(self) -> int:
         if self.codec == E_EXTERNAL:
             return read_itf8(self.buf)
         if self.codec == E_HUFFMAN:
-            return self.symbols[0]
+            return self._read_huffman()
         raise NotImplementedError
 
     def read_byte(self) -> int:
         if self.codec == E_EXTERNAL:
             return self.buf.read(1)[0]
         if self.codec == E_HUFFMAN:
-            return self.symbols[0]
+            return self._read_huffman()
         raise NotImplementedError
 
     def read_bytes(self, n: int | None = None) -> bytes:
@@ -397,13 +450,14 @@ def _parse_compression_header(data: bytes):
 
 def _decode_slice(pres, enc_map, ext, core, s_ref, s_start, s_nrec,
                   ref_names, contigs):
+    corebits = _CoreBits(core)  # ONE cursor shared by every decoder
     dec = {}
     for key, (codec, params) in enc_map.items():
         try:
-            dec[key] = _Decoder(codec, params, ext, core)
+            dec[key] = _Decoder(codec, params, ext, corebits)
         except NotImplementedError:
             dec[key] = None
-    tag_dec = {k: _Decoder(c, p, ext, core)
+    tag_dec = {k: _Decoder(c, p, ext, corebits)
                for k, (c, p) in pres["_tags"].items()}
 
     def iread(key, default=0):
@@ -570,6 +624,66 @@ def _encode_bal(len_cid: int, val_cid: int) -> bytes:
     return write_itf8(E_BYTE_ARRAY_LEN) + write_itf8(len(p)) + p
 
 
+class _BitWriter:
+    """MSB-first bit emitter for the slice core block (writer twin of
+    _CoreBits)."""
+
+    def __init__(self):
+        self._bits: list[int] = []
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self._bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self._bits) + 7) // 8)
+        for i, b in enumerate(self._bits):
+            out[i >> 3] |= b << (7 - (i & 7))
+        return bytes(out)
+
+
+def _huffman_code_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Code length per symbol from a frequency map (plain Huffman tree;
+    one symbol => the zero-bit degenerate form the spec allows)."""
+    import heapq
+    import itertools
+
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 0}
+    tick = itertools.count()
+    heap = [(f, next(tick), {s: 0}) for s, f in freqs.items()]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, _, da = heapq.heappop(heap)
+        fb, _, db = heapq.heappop(heap)
+        merged = {s: l + 1 for s, l in da.items()}
+        merged.update({s: l + 1 for s, l in db.items()})
+        heapq.heappush(heap, (fa + fb, next(tick), merged))
+    return heap[0][2]
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment sorted by (length,
+    symbol) — the exact rule _Decoder's Huffman reader inverts."""
+    order = sorted(lengths, key=lambda s: (lengths[s], s))
+    codes = {}
+    code, prev = 0, lengths[order[0]]
+    for s in order:
+        code <<= lengths[s] - prev
+        prev = lengths[s]
+        codes[s] = (code, lengths[s])
+        code += 1
+    return codes
+
+
+def _encode_huffman(codes: dict[int, tuple[int, int]]) -> bytes:
+    syms = sorted(codes)
+    p = write_itf8(len(syms)) + b"".join(write_itf8(s) for s in syms)
+    p += write_itf8(len(syms)) + b"".join(write_itf8(codes[s][1])
+                                          for s in syms)
+    return write_itf8(E_HUFFMAN) + write_itf8(len(p)) + p
+
+
 _WSM = bytes([0x1B] * 5)  # identity-ish substitution matrix (codes 00 01 10 11)
 
 
@@ -581,14 +695,18 @@ def _sub_code(ref_base: str, alt: str) -> int:
 
 def write_cram(path: str, ref_names: list[str],
                contigs: dict[str, np.ndarray], records,
-               slices_per_container: int = 1, method: int = 1):
+               slices_per_container: int = 1, method: int = 1,
+               huffman_series: tuple = ()):
     """records: iterable of CramRecord-likes (name, flag, ref_id, pos,
     mapq, seq, qual) with cigar-free semantics: mapped reads are stored
     as full-length matches + substitution features vs the reference
     (soft structure like clips comes through as mismatch runs), unmapped
     reads verbatim. `slices_per_container` > 1 packs that many slices
     under one compression header (htslib's default layout); `method`
-    selects block compression (1=gzip, 3=lzma)."""
+    selects block compression (1=gzip, 3=lzma). `huffman_series` names
+    integer series (e.g. ("MQ", "BF")) to canonical-Huffman-code into
+    the core bitstream, the spec 13.4 form htslib emits for
+    low-cardinality series."""
     recs = list(records)
     out = open(path, "wb")
     out.write(CRAM_MAGIC)
@@ -602,7 +720,8 @@ def write_cram(path: str, ref_names: list[str],
     step = 4096 * max(1, slices_per_container)
     for c0 in range(0, len(recs), step):
         _write_data_container(out, ref_names, contigs, recs[c0 : c0 + step],
-                              slices=slices_per_container, method=method)
+                              slices=slices_per_container, method=method,
+                              huffman_series=huffman_series)
     # EOF container (spec-fixed content: empty compression header)
     _write_eof(out)
     out.close()
@@ -655,23 +774,40 @@ def _slice_extent(recs):
     return s_ref, s_start, s_span
 
 
-def _slice_streams(ref_names, contigs, recs, s_ref):
+def _slice_streams(ref_names, contigs, recs, s_ref, huff_codes=None,
+                   collect=None):
+    """Build the slice's per-series byte streams. Integer series named in
+    `huff_codes` ({key: {symbol: (code, len)}}) are bit-packed into the
+    shared core block instead (returned as the second element). With
+    `collect` (a dict key -> list), integer values are also recorded —
+    the writer's first pass gathers Huffman frequencies this way so both
+    passes share one code path."""
     streams = {k: bytearray() for k in _SERIES_IDS}
+    corebits = _BitWriter()
+
+    def put(key, v):
+        if collect is not None and key in collect:
+            collect[key].append(v)
+        if huff_codes and key in huff_codes:
+            corebits.write(*huff_codes[key][v])
+        else:
+            streams[key] += write_itf8(v)
+
     for r in recs:
-        streams["BF"] += write_itf8(r.flag)
-        streams["CF"] += write_itf8(3)  # quals stored | detached mate
+        put("BF", r.flag)
+        put("CF", 3)  # quals stored | detached mate
         if s_ref == -2:
-            streams["RI"] += write_itf8(r.ref_id & 0xFFFFFFFF)
+            put("RI", r.ref_id & 0xFFFFFFFF)
         rl = len(r.seq)
-        streams["RL"] += write_itf8(rl)
-        streams["AP"] += write_itf8(r.pos)  # AP-delta OFF (pres map)
-        streams["RG"] += write_itf8(0xFFFFFFFF)
+        put("RL", rl)
+        put("AP", r.pos)  # AP-delta OFF (pres map)
+        put("RG", 0xFFFFFFFF)
         streams["RN"] += r.name.encode() + b"\t"
-        streams["MF"] += write_itf8(0)
-        streams["NS"] += write_itf8(0xFFFFFFFF)
-        streams["NP"] += write_itf8(0)
-        streams["TS"] += write_itf8(0)
-        streams["TL"] += write_itf8(0)
+        put("MF", 0)
+        put("NS", 0xFFFFFFFF)
+        put("NP", 0)
+        put("TS", 0)
+        put("TL", 0)
         if not (r.flag & 0x4):
             ref = contigs.get(ref_names[r.ref_id])
             seg = ("" if ref is None
@@ -681,32 +817,52 @@ def _slice_streams(ref_names, contigs, recs, s_ref):
                 qb, rb = qb.upper(), rb.upper()
                 if qb != rb:
                     feats.append((i + 1, rb if rb in _SUB_BASES else "N", qb))
-            streams["FN"] += write_itf8(len(feats))
+            put("FN", len(feats))
             last = 0
             for fpos, rb, qb in feats:
                 if qb in _SUB_BASES and rb in _SUB_BASES and qb != "N":
                     streams["FC"] += b"X"
-                    streams["FP"] += write_itf8(fpos - last)
-                    streams["BS"] += write_itf8(_sub_code(rb, qb))
+                    put("FP", fpos - last)
+                    put("BS", _sub_code(rb, qb))
                 else:
                     streams["FC"] += b"B"
-                    streams["FP"] += write_itf8(fpos - last)
+                    put("FP", fpos - last)
                     streams["BA"] += qb.encode()
                     streams["QS"] += bytes([ord(r.qual[fpos - 1]) - 33])
                 last = fpos
-            streams["MQ"] += write_itf8(r.mapq)
+            put("MQ", r.mapq)
         else:
             streams["BA"] += r.seq.encode()
         streams["QS"] += bytes(ord(c) - 33 for c in r.qual)
-    return streams
+    return streams, corebits.bytes()
 
 
-def _write_data_container(out, ref_names, contigs, recs, slices=1, method=1):
+def _write_data_container(out, ref_names, contigs, recs, slices=1, method=1,
+                          huffman_series=()):
     # split records into per-slice chunks sharing one compression header
     slices = max(1, slices)
     per = -(-len(recs) // slices) if recs else 1
     chunks = [recs[i : i + per] for i in range(0, len(recs), per)] or [recs]
     c_ref, c_start, c_span = _slice_extent(recs)
+
+    # Huffman-coded series (spec 13.4): first pass collects each named
+    # series' symbol frequencies over the WHOLE container (codes live in
+    # the compression header, shared by its slices), second pass below
+    # bit-packs the values into each slice's core block
+    huff_codes = None
+    if huffman_series:
+        coll = {k: [] for k in huffman_series}
+        for chunk in chunks:
+            s_ref, _, _ = _slice_extent(chunk)
+            _slice_streams(ref_names, contigs, chunk, s_ref, collect=coll)
+        huff_codes = {}
+        for key, vals in coll.items():
+            if not vals:
+                continue
+            freqs: dict[int, int] = {}
+            for v in vals:
+                freqs[v] = freqs.get(v, 0) + 1
+            huff_codes[key] = _canonical_codes(_huffman_code_lengths(freqs))
 
     # compression header
     pres = bytearray()
@@ -716,12 +872,12 @@ def _write_data_container(out, ref_names, contigs, recs, slices=1, method=1):
     pres += write_itf8(len(pm)) + pm
     encs = []
     for key, cid in _SERIES_IDS.items():
-        if key == "RN":
+        if huff_codes and key in huff_codes:
+            encs.append((key.encode(), _encode_huffman(huff_codes[key])))
+        elif key == "RN":
             encs.append((key.encode(), _encode_stop(ord("\t"), cid)))
         elif key in ("IN", "SC"):
             encs.append((key.encode(), _encode_stop(0, cid)))
-        elif key in ("BA", "QS", "FC"):
-            encs.append((key.encode(), _encode_ext(cid)))
         else:
             encs.append((key.encode(), _encode_ext(cid)))
     em = write_itf8(len(encs)) + b"".join(k + v for k, v in encs)
@@ -734,7 +890,8 @@ def _write_data_container(out, ref_names, contigs, recs, slices=1, method=1):
     n_blocks = 1
     for chunk in chunks:
         s_ref, s_start, s_span = _slice_extent(chunk)
-        streams = _slice_streams(ref_names, contigs, chunk, s_ref)
+        streams, core = _slice_streams(ref_names, contigs, chunk, s_ref,
+                                       huff_codes=huff_codes)
         used = [cid for key, cid in _SERIES_IDS.items() if streams[key]]
         sl = (write_itf8(s_ref & 0xFFFFFFFF) + write_itf8(s_start)
               + write_itf8(s_span) + write_itf8(len(chunk)) + write_ltf8(0)
@@ -744,7 +901,7 @@ def _write_data_container(out, ref_names, contigs, recs, slices=1, method=1):
         sl += write_itf8(0xFFFFFFFF)  # no embedded reference
         sl += b"\x00" * 16
         _write_block(buf, CT_SLICE_HEADER, 0, sl, gz=False)
-        _write_block(buf, 5, 0, b"", gz=False)  # empty core block
+        _write_block(buf, 5, 0, core, gz=False)  # core bitstream block
         for key, cid in _SERIES_IDS.items():
             if streams[key]:
                 _write_block(buf, CT_EXTERNAL, cid, bytes(streams[key]),

@@ -115,6 +115,49 @@ def route_capacity(m: int, n_shards: int, slack: float = 0.3) -> int:
     return max(128, min(m, cap))
 
 
+def host_owners(kmers: np.ndarray, n_shards: int,
+                splitters: np.ndarray | None = None) -> np.ndarray:
+    """Owner shard of host u64 k-mers — numpy mirror of the device
+    owner functions (_owner_hash_hilo / _owners_by_splitters), bit-exact,
+    so callers can size routing capacities EXACTLY instead of padding
+    with statistical slack. SENTINEL keys get owner n_shards."""
+    kmers = np.asarray(kmers, np.uint64)
+    if splitters is not None:
+        owner = np.searchsorted(np.asarray(splitters, np.uint64), kmers,
+                                side="right").astype(np.int32)
+    elif n_shards == 1:
+        owner = np.zeros(kmers.shape, np.int32)
+    else:
+        hi = (kmers >> np.uint64(32)).astype(np.uint32)
+        lo = kmers.astype(np.uint32)
+        with np.errstate(over="ignore"):
+            h = (hi * _MIX1) ^ (lo * _MIX2)
+            h = h ^ (h >> np.uint32(15))
+            h = h * _MIX3
+            h = h ^ (h >> np.uint32(13))
+        owner = (h % np.uint32(n_shards)).astype(np.int32)
+    return np.where(kmers == count.SENTINEL, np.int32(n_shards), owner)
+
+
+def exact_route_cap(padded_queries: np.ndarray, n_shards: int,
+                    splitters: np.ndarray | None = None) -> int:
+    """The exact per-peer routing bin width a (n_shards, qcap) query
+    dispatch needs: max over (source device, owner) bin counts, rounded
+    up to a lane-aligned 128. Computed host-side from the same owner
+    function the device uses, so routed dispatches sized with this can
+    NEVER overflow — no slack inflation (route_capacity's +30% directly
+    inflates the per-peer lookup and return-trip volume) and no retry."""
+    q = np.asarray(padded_queries, np.uint64).reshape(n_shards, -1)
+    mx = 0
+    for row in q:
+        owner = host_owners(row, n_shards, splitters)
+        owner = owner[owner < n_shards]
+        if len(owner):
+            mx = max(mx, int(np.bincount(owner,
+                                         minlength=n_shards).max()))
+    return max(128, -(-mx // 128) * 128)
+
+
 def searchsorted_u64(keys, q):
     """Left-bisect u64 queries into a sorted u64 array using ONLY u32
     compares and gathers.
@@ -898,7 +941,16 @@ def sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
 
 @functools.lru_cache(maxsize=None)
 def _sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
-                         route_cap: int, by_splitters: bool):
+                         route_cap: int, by_splitters: bool,
+                         upto: str = "full"):
+    """upto: 'full' (device-side unroute, (T, S, qcap) in query order),
+    'permuted' (skip the final device sort: returns (T+1, S, qcap) where
+    plane 0 is the per-device permutation idx_s — the caller unpermutes
+    with one vectorized host copy, cheaper than a device payload sort),
+    or the scaling harness's phase probes — 'route' stops after the
+    outbound exchange, 'answer' after the local bisections (cumulative
+    prefixes of the SAME traced code, so phase attribution times exactly
+    what production runs)."""
     axis = mesh.axis_names[0]
     n = mesh.devices.size
 
@@ -940,6 +992,8 @@ def _sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
         else:
             routed = rq[None]
         rqf = routed.reshape(-1)  # (n*route_cap,) queries owned here
+        if upto == "route":
+            return rqf[None], dropped
         answers = []
         for keys, cnts in zip(keys_list, cnts_list):
             tkeys, tcnts = keys[0], cnts[0]
@@ -951,6 +1005,8 @@ def _sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
                                         jnp.int64(2**31 - 1)), 0)
             answers.append(ans.astype(jnp.int32).reshape(n, route_cap))
         ast = jnp.stack(answers, axis=1)  # (n_src, T, route_cap)
+        if upto == "answer":
+            return ast.reshape(1, -1), dropped
         if n > 1:
             back = jax.lax.all_to_all(ast[None], axis, split_axis=1,
                                       concat_axis=0, tiled=False)
@@ -968,6 +1024,9 @@ def _sharded_query_multi(mesh, k: int, qcap: int, n_tables: int,
                             + jnp.minimum(colq, route_cap - 1), 0)
         lanes = [jnp.where(valid, back[:, t, :].reshape(-1)[flatpos], 0)
                  for t in range(n_tables)]
+        if upto == "permuted":
+            out = jnp.stack([idx_s, *lanes], axis=0)  # (T+1, qcap)
+            return out[:, None, :], dropped
         unsorted = jax.lax.sort((idx_s, *lanes), num_keys=1)
         out = jnp.stack(unsorted[1:], axis=0)  # (T, qcap)
         return out[:, None, :], dropped

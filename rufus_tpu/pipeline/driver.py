@@ -824,47 +824,10 @@ class RufusPipeline:
     # -- stage 7: contig alignment + genotyping pulls ----------------------
 
     def _routed_query(self, dev, kmers: np.ndarray) -> np.ndarray:
-        """Genotyping lookups routed to owner shards (the pod-scale
-        replacement for the backgrounded `jellyfish query` pulls,
-        Overlap.shorter.sh:265-303): bucket queries by owner hash,
-        all_to_all, local searchsorted on each shard's resident slice,
-        all_to_all back — the sample's table is never gathered to host.
-        Lossless: routing-bin overflow is detected and retried with a
-        doubled per-peer capacity."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..parallel import route_capacity, sharded_query_step
-
-        cfg = self.cfg
-        n = self.n_devices
-        Q = len(kmers)
-        qcap = max(128, -(-Q // (128 * n)) * 128)  # per-device query width
-        padded = np.full(n * qcap, count.SENTINEL, np.uint64)
-        padded[:Q] = kmers
-        sh = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
-        q_dev = jax.device_put(jnp.asarray(padded.reshape(n, qcap)), sh)
-        rcap = route_capacity(qcap, n)
-        by_split = dev.splitters is not None and n > 1
-        if by_split:
-            rep = jax.sharding.NamedSharding(
-                self.mesh, jax.sharding.PartitionSpec())
-            split_dev = jax.device_put(
-                jnp.asarray(dev.splitters, jnp.uint64), rep)
-        while True:
-            step = sharded_query_step(self.mesh, cfg.k, qcap, rcap,
-                                      by_splitters=by_split)
-            if by_split:
-                out, dropped = step(q_dev, dev.keys, dev.counts, split_dev)
-            else:
-                out, dropped = step(q_dev, dev.keys, dev.counts)
-            if int(np.asarray(dropped).sum()) == 0:
-                break
-            rcap *= 2
-            self._log(f"routed query overflowed bins; retrying with "
-                      f"route_cap={rcap}")
-        return np.asarray(out).ravel()[:Q]
+        """Genotyping lookups against ONE device-resident table — a thin
+        wrapper over the multi-table dispatch (same routed path, one
+        table)."""
+        return self._routed_query_multi([dev], kmers)[0]
 
     def _routed_query_multi(self, devs: list, kmers: np.ndarray):
         """One routed dispatch answering `kmers` against EVERY sample's
@@ -876,7 +839,7 @@ class RufusPipeline:
         import jax
         import jax.numpy as jnp
 
-        from ..parallel import route_capacity, sharded_query_multi
+        from ..parallel.sharded import _sharded_query_multi, exact_route_cap
 
         cfg = self.cfg
         n = self.n_devices
@@ -889,8 +852,12 @@ class RufusPipeline:
         sh = jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(self.mesh.axis_names[0]))
         q_dev = jax.device_put(jnp.asarray(padded.reshape(n, qcap)), sh)
-        rcap = route_capacity(qcap, n)
         by_split = devs[0].splitters is not None and n > 1
+        # exact per-peer bin width from the host-side owner mirror: no
+        # slack inflation of the routed lookup volume, and the overflow
+        # retry below can never fire (kept as a safety net)
+        rcap = exact_route_cap(
+            padded, n, devs[0].splitters if by_split else None)
         args = []
         if by_split:
             rep = jax.sharding.NamedSharding(
@@ -899,16 +866,24 @@ class RufusPipeline:
                 jnp.asarray(devs[0].splitters, jnp.uint64), rep)]
         keys = [d.keys for d in devs]
         cnts = [d.counts for d in devs]
+        T = len(devs)
         while True:
-            step = sharded_query_multi(self.mesh, cfg.k, qcap, len(devs),
-                                       rcap, by_splitters=by_split)
+            # 'permuted' skips the device-side unroute sort; the host
+            # restores query order with one vectorized copy below
+            step = _sharded_query_multi(self.mesh, cfg.k, qcap, T,
+                                        rcap, by_split, upto="permuted")
             out, dropped = step(q_dev, keys, cnts, *args)
             if int(np.asarray(dropped).sum()) == 0:
                 break
             rcap *= 2
             self._log(f"routed multi-query overflowed bins; retrying "
                       f"with route_cap={rcap}")
-        return np.asarray(out).reshape(len(devs), -1)[:, :Q]
+        arr = np.asarray(out)  # (T+1, n, qcap); plane 0 = permutation
+        idx = arr[0].astype(np.int64)
+        res = np.empty((T, n, qcap), arr.dtype)
+        rows = np.arange(n)[:, None]
+        res[:, rows, idx] = arr[1:]
+        return res.reshape(T, -1)[:, :Q]
 
     def stage_contig_align(self, contigs_path: str, tables):
         cfg = self.cfg

@@ -227,3 +227,66 @@ def test_small_and_offcut_files(tmp_path):
     cram.write_cram(p3, names, contigs, big)
     _, it = cram.read_cram(p3, contigs)
     assert sum(1 for _ in it) == 4097
+
+
+@needs_data
+def test_general_huffman_series_matches_bam(tmp_path):
+    """General (non-zero-bit) canonical Huffman: the trio Child written
+    with MQ+BF+FN coded into the core bitstream (spec 13.4, htslib's
+    low-cardinality form) must decode byte-equal to its BAM twin —
+    multi-symbol alphabets, multi-length codes, one shared core bit
+    cursor across series (VERDICT r4 next #8)."""
+    from rufus_tpu.io import bam, bwaindex
+
+    contigs = bwaindex.load_pac_reference(REF)
+    refs, records = bam.read_bam(os.path.join(TESTRUN, "Child.bam"))
+    names = [r[0] for r in refs]
+    bam_recs = [(r.name, r.flag, r.ref_id, r.pos + 1, r.mapq, r.seq, r.qual)
+                for r in records]
+    path = str(tmp_path / "Child.huff.cram")
+    cram.write_cram(path, names, contigs,
+                    [cram.CramRecord(*r) for r in bam_recs],
+                    huffman_series=("MQ", "BF", "FN"))
+    # the fixture must really exercise multi-symbol Huffman
+    assert len({f for _, f, *_ in bam_recs}) > 2
+    assert len({mq for _, _, _, _, mq, _, _ in bam_recs}) > 2
+    got_names, it = cram.read_cram(path, contigs)
+    got = list(it)
+    assert got_names == names
+    assert len(got) == len(bam_recs)
+    for (n, f, ri, p, mq, s, q), g in zip(bam_recs, got):
+        assert (n, f, s, q) == (g.name, g.flag, g.seq, g.qual)
+        if not (f & 0x4):
+            assert (ri, p, mq) == (g.ref_id, g.pos, g.mapq)
+
+
+def test_huffman_canonical_codec_unit():
+    """Canonical code builder + bit reader invert each other on a skewed
+    alphabet (lengths 1..4), incl. the single-symbol zero-bit form."""
+    from rufus_tpu.io.cram import (_BitWriter, _canonical_codes,
+                                   _CoreBits, _huffman_code_lengths)
+
+    freqs = {10: 100, 20: 30, 30: 10, 40: 5, 50: 5}
+    codes = _canonical_codes(_huffman_code_lengths(freqs))
+    # prefix-free and canonical: sorted by (len, symbol), increasing
+    lens = {s: l for s, (c, l) in codes.items()}
+    assert lens[10] == 1
+    rng = np.random.default_rng(0)
+    seq = rng.choice(list(freqs), size=500, p=np.array(
+        list(freqs.values())) / sum(freqs.values())).tolist()
+    w = _BitWriter()
+    for s in seq:
+        w.write(*codes[s])
+    bits = _CoreBits(w.bytes())
+    # decode with the reader's algorithm via a fake params blob
+    import io as _io
+
+    from rufus_tpu.io.cram import E_HUFFMAN, _Decoder, write_itf8
+
+    syms = sorted(codes)
+    params = (write_itf8(len(syms)) + b"".join(write_itf8(s) for s in syms)
+              + write_itf8(len(syms))
+              + b"".join(write_itf8(codes[s][1]) for s in syms))
+    dec = _Decoder(E_HUFFMAN, params, {}, bits)
+    assert [dec.read_int() for _ in seq] == seq
+    assert _huffman_code_lengths({7: 3}) == {7: 0}

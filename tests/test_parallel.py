@@ -462,3 +462,35 @@ def test_sharded_query_multi_matches_host(n_dev):
     got = np.asarray(out).reshape(3, -1)[:, : len(q)]
     for t in range(3):
         np.testing.assert_array_equal(got[t], hosts[t].query(q))
+
+
+def test_host_owner_mirror_is_bit_exact():
+    """exact route sizing is only sound if the host owner function equals
+    the device one bit-for-bit — hash partition and splitter partition,
+    incl. SENTINEL handling."""
+    from rufus_tpu.parallel.sharded import (_owners, _owners_by_splitters,
+                                            exact_route_cap, host_owners)
+
+    rng = np.random.default_rng(41)
+    keys = rng.integers(0, 2**64, 5000, dtype=np.uint64)
+    keys[::97] = count.SENTINEL
+    for n in (2, 3, 8):
+        dev = np.asarray(_owners(jnp.asarray(keys), n, 25))
+        # device _owners has no sentinel special-case (count path filters
+        # them upstream); compare non-sentinel lanes, and host must tag
+        # sentinels with n
+        host = host_owners(keys, n)
+        m = keys != count.SENTINEL
+        np.testing.assert_array_equal(host[m], dev[m])
+        assert (host[~m] == n).all()
+        spl = np.sort(rng.integers(0, 2**64, n - 1, dtype=np.uint64))
+        dev_s = np.asarray(_owners_by_splitters(
+            jnp.asarray(keys), jnp.asarray(spl), n))
+        host_s = host_owners(keys, n, spl)
+        np.testing.assert_array_equal(host_s, dev_s)
+    # exact sizing: the max bin over (device row, owner), 128-aligned
+    cap = exact_route_cap(keys[:4096].reshape(4, 1024), 4)
+    owners = [host_owners(r, 4) for r in keys[:4096].reshape(4, 1024)]
+    true_max = max(int(np.bincount(o[o < 4], minlength=4).max())
+                   for o in owners)
+    assert cap == max(128, -(-true_max // 128) * 128)
