@@ -98,15 +98,55 @@ def main():
     mesh = make_mesh(1)
     step = sharded_count_step(mesh, K, B * (L - K + 1))
 
-    # pre-stage device inputs: this bench host reaches the chip through a
-    # network relay whose h2d path is orders slower than the PCIe/DMA a
-    # production host would stream reads over, so transfer is reported
-    # separately rather than folded into the kernel metric
+    # pre-stage device inputs for the kernel-path metric; the h2d-included
+    # metric below streams fresh transfers through a double buffer instead
     dev_batches = [(jax.device_put(jnp.asarray(r)),
                     jax.device_put(jnp.asarray(q))) for r, q in batches]
     t0 = time.perf_counter()
     jax.block_until_ready(jax.device_put(jnp.asarray(batches[0][0])))
     h2d_ms = (time.perf_counter() - t0) * 1e3
+
+    # h2d-included feed, the driver._device_prefetch path: 2-bit + N-mask
+    # PACKED transport (3.56x fewer bytes; quals as a 1-bit "passes
+    # min_q" plane) with transfers issued a batch ahead from a feeder
+    # thread and unpacked by a few fused u8 ops on device. device_put is
+    # async, so compute hides under the transfer; packing makes the
+    # transfer smaller than the compute.
+    import queue as _queue
+    import threading as _threading
+
+    from rufus_tpu.ops import pack as rpack
+
+    unpack_r = jax.jit(lambda p, m: rpack.unpack_reads_device(p, m, L))
+    unpack_q = jax.jit(lambda m: rpack.unpack_qual_device(m, L))
+
+    def h2d_feed(with_quals: bool, depth: int = 2):
+        q = _queue.Queue(maxsize=depth)
+
+        def worker():
+            try:
+                for r, qual in batches:
+                    pk, nm = rpack.pack_reads(r)
+                    qm = (rpack.pack_qual_ok(qual, 15) if with_quals
+                          else None)
+                    q.put((jax.device_put(jnp.asarray(pk)),
+                           jax.device_put(jnp.asarray(nm)),
+                           jax.device_put(jnp.asarray(qm))
+                           if qm is not None else None))
+                q.put(None)
+            except BaseException as e:
+                q.put(e)
+
+        _threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            pk, nm, qm = item
+            yield (unpack_r(pk, nm),
+                   unpack_q(qm) if qm is not None else None)
 
     # ---- count + fold (pipeline count_sample device path) ----
     def count_epoch():
@@ -127,6 +167,25 @@ def main():
         count_dt = dt if count_dt is None else min(count_dt, dt)
     count_rps = B * ITERS / count_dt
     n_unique = int(np.asarray(table.n_unique).max())
+
+    # count with h2d INCLUDED, double-buffered under the fold
+    def count_epoch_h2d():
+        table = ShardedKmerTable(mesh, K, 1 << 22)
+        for r_d, _ in h2d_feed(with_quals=False):
+            bk, bc, _, _dr = step(r_d)
+            table.fold_batch(bk, bc)
+        table.flush()
+        return table
+
+    count_h2d_dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        th = count_epoch_h2d()
+        int(np.asarray(th.n_unique).max())
+        dt = time.perf_counter() - t0
+        count_h2d_dt = (dt if count_h2d_dt is None
+                        else min(count_h2d_dt, dt))
+    count_h2d_rps = B * ITERS / count_h2d_dt
 
     # measured cost of the dominant primitives at the actual flush size:
     # the pending sort (lax.sort over u32 key planes) and the streaming
@@ -209,6 +268,52 @@ def main():
         filter_dt = dt if filter_dt is None else min(filter_dt, dt)
     filter_rps = B * ITERS / filter_dt
 
+    def run_filter_epoch_h2d():
+        hs = [device_hits(r_d, q_d)
+              for r_d, q_d in h2d_feed(with_quals=True)]
+        all_h = np.asarray(jnp.concatenate(hs).astype(jnp.uint8))
+        kept = 0
+        for bi, (r_np, q_np) in enumerate(batches):
+            h = all_h[bi * B : (bi + 1) * B]
+            for i in np.nonzero(h >= 1)[0]:
+                s = r_np[i].tobytes().decode()
+                qq = q_np[i].tobytes().decode()
+                if rfilter.exact_hits_host(s, qq, hl_keys, K, 15) >= 1:
+                    kept += 1
+        return kept
+
+    filter_h2d_dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_filter_epoch_h2d()
+        dt = time.perf_counter() - t0
+        filter_h2d_dt = (dt if filter_h2d_dt is None
+                         else min(filter_h2d_dt, dt))
+    filter_h2d_rps = B * ITERS / filter_h2d_dt
+
+    # transport characterization: upload-only of fresh packed batches
+    # (the relay content-dedups repeated buffers, so only fresh content
+    # measures the wire) -> the transport-bound throughput ceiling that
+    # bounds ANY h2d-included number on this link
+    count_bytes = filter_bytes = 0
+    ups = []
+    for r, qual in batches:
+        pk, nm = rpack.pack_reads(r)
+        qm = rpack.pack_qual_ok(qual, 15)
+        count_bytes += pk.nbytes + nm.nbytes
+        filter_bytes += pk.nbytes + nm.nbytes + qm.nbytes
+        ups.append((jnp.asarray(pk), jnp.asarray(nm), jnp.asarray(qm)))
+    t0 = time.perf_counter()
+    staged = [tuple(jax.device_put(x) for x in u) for u in ups]
+    jax.block_until_ready(staged)
+    up_dt = time.perf_counter() - t0
+    del staged, ups
+    transport_mbps = filter_bytes / up_dt / 1e6
+    # count pass + filter pass each re-stream the reads (two pipeline
+    # stages over the same sample); their packed bytes over the measured
+    # link bound any h2d-included fused number
+    fused_bytes_per_read = (count_bytes + filter_bytes) / (B * ITERS)
+
 
     fused = 1.0 / (1.0 / count_rps + 1.0 / filter_rps)
     n_keys = B * (L - K + 1)
@@ -227,13 +332,30 @@ def main():
                         "kept reads; coverage reads w/ Ns",
             "h2d_ms_per_batch_via_relay": round(h2d_ms, 1),
             "fused_with_h2d_reads_per_s": round(
-                1.0 / (1.0 / count_rps + 1.0 / filter_rps
-                       + h2d_ms / 1e3 / B), 1),
-            "h2d_note": "the bench host reaches the chip through a "
-                        "network relay where device_put serializes with "
-                        "compute (no DMA-engine overlap), so "
-                        "fused_with_h2d is a lower bound; production "
-                        "PCIe double-buffers the transfer under the fold",
+                1.0 / (1.0 / count_h2d_rps + 1.0 / filter_h2d_rps), 1),
+            "count_with_h2d_reads_per_s": round(count_h2d_rps, 1),
+            "filter_with_h2d_reads_per_s": round(filter_h2d_rps, 1),
+            "h2d_transport": {
+                "measured_fresh_content_MBps": round(transport_mbps, 1),
+                "packed_bytes_per_read_fused": round(fused_bytes_per_read,
+                                                     1),
+                "transport_bound_fused_ceiling_reads_per_s": round(
+                    1.0 / (fused_bytes_per_read / (transport_mbps * 1e6)
+                           + 1.0 / fused), 1),
+                "note": "MEASURED h2d-included feed (the pipeline's "
+                        "driver._device_prefetch): 2-bit + N-mask packed "
+                        "transport (3.56x fewer bytes; quals as a 1-bit "
+                        "min_q plane), transfers a batch ahead, device "
+                        "unpack. The relay tunnel moves fresh content at "
+                        "the MBps above (content-identical re-uploads are "
+                        "dedup'd ~20x faster, so only fresh bytes count); "
+                        "fused_with_h2d is bounded by the ceiling row on "
+                        "this link no matter the overlap. On PCIe gen3+ "
+                        "(>=8 GB/s) the same packed feed moves "
+                        "~0.5 ms/batch vs ~66 ms of count compute — "
+                        "h2d-included converges to the fused number "
+                        "within ~1%.",
+            },
             "table_unique_kmers": n_unique,
             "kept_reads": total_kept,
             "device": str(jax.devices()[0]),

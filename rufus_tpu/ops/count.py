@@ -232,12 +232,18 @@ class KmerTable:
         canon = [codec.canonical_str(s.upper()) for s in seqs]
         return self.query(codec.strs_to_kmers(canon, self.k))
 
-    def histo(self, max_count: int = 10001) -> np.ndarray:
+    def histo(self, max_count: int = 10001,
+              chunk: int = 1 << 26) -> np.ndarray:
         """Count histogram; bin i = #kmers with count i (i>=1), last bin
         accumulates the tail — matches `jellyfish histo` defaults
-        (histo_main.cc: low=1, high=10000, increment=1)."""
-        c = np.minimum(self.counts, max_count)
-        return np.bincount(c, minlength=max_count + 1)
+        (histo_main.cc: low=1, high=10000, increment=1). Chunked so a
+        memmap-backed (spilled) WGS table histograms in O(chunk) RSS."""
+        out = np.zeros(max_count + 1, np.int64)
+        for off in range(0, len(self.counts), chunk):
+            c = np.minimum(np.asarray(self.counts[off:off + chunk]),
+                           max_count)
+            out += np.bincount(c, minlength=max_count + 1)
+        return out
 
     # -- serialization ------------------------------------------------------
 
@@ -295,6 +301,46 @@ class KmerTable:
         return t
 
 
+def concat_flat(part_paths: list[str], out_path: str,
+                chunk: int = 1 << 24):
+    """Splice ordered flat-table runs into one flat table file.
+
+    The multipass counting flow (jellyfish --disk's sorted-run dump,
+    count_main.cc:318-338) writes one flat run per disjoint ascending
+    key range; the final table is their byte-level concatenation —
+    keys sections in order, then counts sections in order — with a
+    summed header. O(chunk) memory."""
+    heads = []
+    for p in part_paths:
+        with open(p, "rb") as f:
+            if f.read(4) != KmerTable.FLAT_MAGIC:
+                raise ValueError(f"{p}: not a flat k-mer table")
+            f.read(4)
+            k, n = (int(v) for v in np.fromfile(f, dtype="<u8", count=2))
+            heads.append((k, n))
+    k = heads[0][0]
+    n_total = sum(n for _, n in heads)
+    off0 = 8 + 16
+
+    def copy_section(dst, src_path, src_off, nbytes):
+        with open(src_path, "rb") as src:
+            src.seek(src_off)
+            left = nbytes
+            while left > 0:
+                buf = src.read(min(chunk, left))
+                dst.write(buf)
+                left -= len(buf)
+
+    with open(out_path, "wb") as f:
+        f.write(KmerTable.FLAT_MAGIC + b"\0\0\0\0")
+        np.array([k, n_total], dtype="<u8").tofile(f)
+        for p, (_, n) in zip(part_paths, heads):
+            copy_section(f, p, off0, 8 * n)
+        for p, (_, n) in zip(part_paths, heads):
+            copy_section(f, p, off0 + 8 * n, 8 * n)
+    return KmerTable.load_flat(out_path)
+
+
 def build_hashlist_4col(subject: KmerTable, parents: list[KmerTable],
                         min_cov_subject: int, max_cov_control: int,
                         max_coverage: int = 1200):
@@ -349,3 +395,37 @@ def subtract_unique(tables: list[KmerTable], merge_min: int = 5) -> np.ndarray:
     singleton = head & tail
     keep = singleton & (cnts >= merge_min)
     return keys[keep]
+
+
+def subtract_unique_stream(tables: list[KmerTable], merge_min: int,
+                           min_cov: int, max_depth: int,
+                           chunk: int = 1 << 24):
+    """FUSED modified-merge + subject count-range pull, streaming over
+    the subject in chunks — O(chunk) resident, memmap-friendly: the
+    host-side counterpart of parallel.sharded_subtract_step for the
+    spilled (out-of-HBM, WGS) regime.
+
+    Semantics identical to the sharded step's fusion of
+    merge_files.cc:147-153 with CheckJellyHashList.sh:12 (min_cov >= 1):
+    SUBJECT keys absent from EVERY control with subject count in
+    [max(merge_min, min_cov), max_depth]. Returns (keys, subject_counts),
+    sorted."""
+    subj = tables[0]
+    lo = max(merge_min, min_cov)
+    out_k, out_c = [], []
+    n = len(subj.keys)
+    for off in range(0, n, chunk):
+        ks = np.asarray(subj.keys[off:off + chunk])
+        cs = np.asarray(subj.counts[off:off + chunk])
+        keep = (cs >= lo) & (cs <= max_depth)
+        for t in tables[1:]:
+            if len(t.keys) == 0 or not keep.any():
+                continue
+            idx = np.searchsorted(t.keys, ks)
+            idxc = np.minimum(idx, len(t.keys) - 1)
+            keep &= np.asarray(t.keys[idxc]) != ks
+        out_k.append(ks[keep])
+        out_c.append(cs[keep])
+    if not out_k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return np.concatenate(out_k), np.concatenate(out_c)

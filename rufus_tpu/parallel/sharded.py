@@ -1295,3 +1295,62 @@ class ShardedKmerTable:
         keys, cnts = keys[mask], cnts[mask]
         order = np.argsort(keys)  # owner bits aren't the topmost u64 bits
         return count.KmerTable(self.k, keys[order], cnts[order])
+
+    def to_flat(self, path: str, chunk: int = 1 << 25):
+        """Spill the device table to a flat sorted file (the
+        KmerTable.save_flat layout) with O(chunk) host memory: chunked
+        d2h slices, sentinel/zero-count entries masked per chunk, keys
+        and counts sections written through two cursors into one file.
+
+        The whole-genome regime: a human-scale sample's table (~0.5G
+        unique k-mers x 16 B) doesn't leave room for 3 samples in one
+        chip's HBM — counting spills each finished sample to host memmap
+        and frees the device, exactly jellyfish --disk's role of dumping
+        sorted runs instead of growing (count_main.cc:245-246, 318-338).
+        Downstream stages bisect the memmap (model histo, streamed
+        subtract, genotype pulls) — pages fault in on demand.
+
+        Requires a globally-sorted layout: range splitters (rows ordered)
+        or a single shard. Returns the memmap-backed KmerTable."""
+        self.flush()
+        S = self.keys.shape[0]
+        if S > 1 and self.splitters is None:
+            raise ValueError(
+                "flat spill needs a range partition (hash-partitioned "
+                "rows do not concatenate sorted)")
+
+        def nvalid(tk, tc):
+            return jnp.sum((tk != count.SENTINEL) & (tc > 0), axis=1,
+                           dtype=jnp.int64)
+
+        nv = np.asarray(jax.jit(nvalid)(self.keys, self.counts))
+        n = int(nv.sum())
+        cap = self.keys.shape[1]
+        head = 8 + 16
+        with open(path, "wb") as f:
+            f.write(count.KmerTable.FLAT_MAGIC + b"\0\0\0\0")
+            np.array([self.k, n], dtype="<u8").tofile(f)
+            ko, co = head, head + 8 * n
+            for s in range(S):
+                for off in range(0, cap, chunk):
+                    m = min(chunk, cap - off)
+                    kc = np.asarray(self.keys[s, off:off + m])
+                    cc = np.asarray(self.counts[s, off:off + m])
+                    msk = (kc != count.SENTINEL) & (cc > 0)
+                    kv, cv = kc[msk], cc[msk]
+                    f.seek(ko)
+                    kv.astype("<u8").tofile(f)
+                    ko += kv.nbytes
+                    f.seek(co)
+                    cv.astype("<i8").tofile(f)
+                    co += cv.nbytes
+            assert ko == head + 8 * n, (ko, n)
+        return count.KmerTable.load_flat(path)
+
+    def release(self):
+        """Drop the device-resident planes (after a spill) so the next
+        sample's table can use the HBM."""
+        self._pending = []
+        self._pending_els = 0
+        self.keys = None
+        self.counts = None

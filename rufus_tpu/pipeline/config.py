@@ -48,17 +48,30 @@ class RufusConfig:
     haploid: bool = False  # ModelDist.haploid fit (ModelDist.haploid.cpp:29)
     table_cap0: int = 1 << 20  # initial per-shard device table capacity
     # (grows on overflow, jellyfish cooperative-resize role)
+    count_passes: int = 1  # >1: multipass counting — pass p counts only
+    # keys in disjoint ascending range p, each pass spilling a flat run;
+    # bounds device memory to ~1/P of the single-pass table when one
+    # sample's table + fold transient exceed HBM (jellyfish --disk's
+    # sorted-run regime, count_main.cc:318-338). Single-device only (a
+    # multi-chip mesh already range-partitions across chips).
+    spill_tables: str = "auto"  # "auto" | "on" | "off": spill each
+    # sample's finished count table to a host flat memmap and free the
+    # device when all samples' tables can't share HBM (jellyfish --disk
+    # role, count_main.cc:245-246; auto = spill on TPU when the
+    # projected N-sample residency exceeds hbm_budget_gb)
+    hbm_budget_gb: float = 12.0  # usable HBM for resident tables
 
     @property
     def subject_stub(self) -> str:
-        return os.path.basename(self.subject) + ".generator"
+        # comma-separated multi-file inputs stub from the first file
+        return os.path.basename(self.subject.split(",")[0]) + ".generator"
 
     @property
     def name_stub(self) -> str:
         return self.subject_stub + ".V2"
 
     def control_stub(self, path: str) -> str:
-        return os.path.basename(path) + ".generator"
+        return os.path.basename(path.split(",")[0]) + ".generator"
 
     def wpath(self, *parts) -> str:
         return os.path.join(self.workdir, *parts)

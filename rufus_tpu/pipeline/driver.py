@@ -10,6 +10,7 @@ ops/; host work (assembly, interpret) mirrors the reference semantics.
 
 from __future__ import annotations
 
+import functools
 import os
 import queue
 import threading
@@ -64,6 +65,8 @@ class RufusPipeline:
         self.mesh = make_mesh(n)
         self.n_devices = n
         self._dev_tables: dict = {}  # stub -> ShardedKmerTable (resident)
+        self._spill = None  # decided from the first table vs HBM budget
+        self._pass_bounds = None  # multipass count key-range boundaries
         self._route_cap = None  # per-peer all_to_all bin width (grows on
         # overflow, the lossless retry protocol of sharded_count_step)
         self._splitters = None  # range-partition boundaries shared by
@@ -153,28 +156,33 @@ class RufusPipeline:
                     pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
         elif is_fastq:
             # native chunked-memchr fastq scanner (6.8M reads/s measured
-            # vs ~0.5M for the python line parser) with python fallback
-            nf = None
-            try:
-                from ..io import native
-
-                nf = native.NativeFastq(path)
-            except Exception:
+            # vs ~0.5M for the python line parser) with python fallback;
+            # comma-separated paths stream in sequence (counting R1,R2
+            # without materializing a concatenated copy — at WGS scale
+            # the .all file would double the fastq footprint on disk)
+            for part in path.split(","):
                 nf = None
-            if nf is not None:
-                while True:
-                    seq, lens = nf.read_batch(cfg.batch_size, cfg.read_pad)
-                    if len(seq) == 0:
-                        break
-                    if len(seq) < cfg.batch_size:
-                        pad = np.full(
-                            (cfg.batch_size - len(seq), cfg.read_pad),
-                            ord("N"), np.uint8)
-                        seq = np.concatenate([seq, pad])
-                    yield seq
-                nf.close()
-            else:
-                yield from self._python_fastq_batches(path)
+                try:
+                    from ..io import native
+
+                    nf = native.NativeFastq(part)
+                except Exception:
+                    nf = None
+                if nf is not None:
+                    while True:
+                        seq, lens = nf.read_batch(cfg.batch_size,
+                                                  cfg.read_pad)
+                        if len(seq) == 0:
+                            break
+                        if len(seq) < cfg.batch_size:
+                            pad = np.full(
+                                (cfg.batch_size - len(seq), cfg.read_pad),
+                                ord("N"), np.uint8)
+                            seq = np.concatenate([seq, pad])
+                        yield seq
+                    nf.close()
+                else:
+                    yield from self._python_fastq_batches(part)
             if progress_path:
                 with open(progress_path, "w") as pf:
                     pf.write("notachr\n" + bam.STREAM_SENTINEL + "\n")
@@ -235,6 +243,37 @@ class RufusPipeline:
                 raise item
             yield item
 
+    def _device_prefetch(self, stream, sharding, depth: int = 2):
+        """Feed read batches to the device with (a) transfers issued a
+        batch ahead from a feeder thread (h2d overlaps the fold — the
+        FIFO role of runRufus.sh:924-927 at the h2d boundary) and (b)
+        2-bit + N-mask PACKED transport (ops/pack.py): 3.56x fewer bytes
+        cross the link, which converts a transport-bound feed into a
+        compute-bound one (the bench relay moves ~56 MB/s; ASCII batches
+        take 179 ms vs 66 ms of count compute — packed they fit under
+        it). Unpack is a few fused u8 ops on device."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import pack as rpack
+
+        unpack: dict = {}
+
+        def put(seq):
+            packed, nmask = rpack.pack_reads(seq)
+            return (jax.device_put(jnp.asarray(packed), sharding),
+                    jax.device_put(jnp.asarray(nmask), sharding),
+                    seq.shape[1])
+
+        for pk, nm, L in self._prefetch((put(s) for s in stream),
+                                        depth=depth):
+            f = unpack.get(L)
+            if f is None:
+                f = jax.jit(functools.partial(rpack.unpack_reads_device,
+                                              L=L))
+                unpack[L] = f
+            yield f(pk, nm)
+
     def count_sample(self, path: str, stub: str, lower: int, stream=None):
         """Count one sample's canonical k-mers into a device-resident
         prefix-sharded table (jellyfish `count -C -L lower` role,
@@ -254,12 +293,16 @@ class RufusPipeline:
 
         cfg = self.cfg
         table_path = self.cfg.wpath(stub + ".table.npz")
+        flat_path = self.cfg.wpath(stub + ".table.flat")
         histo_path = self.cfg.wpath(stub + ".Jhash.histo")
         progress_path = self.cfg.wpath(stub + ".Jelly.chr")
-        if os.path.exists(table_path) and os.path.exists(histo_path):
+        if ((os.path.exists(table_path) or os.path.exists(flat_path))
+                and os.path.exists(histo_path)):
             if (not os.path.exists(progress_path)
                     or bam.stream_complete(progress_path)):
                 self._log(f"skipping count for {stub}")
+                if os.path.exists(flat_path):
+                    return count.KmerTable.load_flat(flat_path)
                 return count.KmerTable.load(table_path)
             self._log(f"count for {stub}: outputs exist but the stream "
                       "never completed; recounting")
@@ -270,6 +313,17 @@ class RufusPipeline:
             self._route_cap = route_capacity(bcap, n_dev)
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(mesh.axis_names[0]))
+        if cfg.count_passes > 1:
+            if n_dev != 1:
+                raise NotImplementedError(
+                    "count_passes>1 is single-device (a multi-chip mesh "
+                    "already range-partitions the table across chips)")
+            if stream is not None:
+                raise ValueError("multipass counting re-streams the "
+                                 "input; pass stream=None")
+            return self._count_sample_multipass(
+                path, stub, lower, cfg.count_passes, flat_path,
+                histo_path, progress_path, sharding, bcap)
         meter = Throughput(name=f"count[{stub}] reads")
         if stream is None:
             stream = self._prefetch(
@@ -293,8 +347,7 @@ class RufusPipeline:
             # genome-wide partition — frozen before the first flush
             # needs them (folds only buffer until the pending budget).
             split_pool: list = []
-            for seq in stream:
-                reads_d = jax.device_put(jnp.asarray(seq), sharding)
+            for reads_d in self._device_prefetch(stream, sharding):
                 bk, _nn = lstep(reads_d)
                 if self._splitters is None:
                     split_pool.append(bk)
@@ -309,7 +362,7 @@ class RufusPipeline:
                         split_pool = []
                 dev.splitters = self._splitters
                 dev.fold_batch(bk)
-                meter.add(seq.shape[0])
+                meter.add(reads_d.shape[0])
             if self._splitters is None:
                 # short stream: freeze from whatever was seen
                 self._splitters = make_splitters(split_pool, n_dev)
@@ -318,11 +371,10 @@ class RufusPipeline:
         else:
             # single chip: raw keys defer everything to the fold
             step = sharded_count_step(mesh, cfg.k, bcap, self._route_cap)
-            for seq in stream:
-                reads_d = jax.device_put(jnp.asarray(seq), sharding)
+            for reads_d in self._device_prefetch(stream, sharding):
                 bk, bc, _, _dr = step(reads_d)
                 dev.fold_batch(bk, bc)
-                meter.add(seq.shape[0])
+                meter.add(reads_d.shape[0])
         if not bam.stream_complete(progress_path):
             raise RuntimeError(
                 f"count stream for {path} ended without the completion "
@@ -333,14 +385,97 @@ class RufusPipeline:
         # subtract stage concats all samples' tables shard-wise, so dead
         # padding would multiply across samples in HBM
         dev.shrink()
-        table = dev.to_host()
+        if self._spill is None:
+            # spill decision, made once from the first finished table:
+            # N similar-size samples resident at once vs the HBM budget
+            # (jellyfish --disk role — count_main.cc:245-246)
+            per = dev.keys.shape[0] * dev.capacity * 16
+            n_samples = 1 + len(cfg.controls)
+            self._spill = (cfg.spill_tables == "on"
+                           or (cfg.spill_tables == "auto"
+                               and jax.default_backend() == "tpu"
+                               and per * n_samples
+                               > cfg.hbm_budget_gb * (1 << 30)))
+            if self._spill:
+                self._log(f"spilling count tables to host memmaps "
+                          f"({per/2**30:.1f} GiB x {n_samples} samples "
+                          f"> {cfg.hbm_budget_gb} GiB HBM budget)")
+        if self._spill:
+            table = dev.to_flat(flat_path)
+            dev.release()
+        else:
+            table = dev.to_host()
+            self._dev_tables[stub] = dev
+            table.save(table_path)
         if len(table) == 0:
             raise RuntimeError(f"counting produced no kmers for {path}")
-        self._dev_tables[stub] = dev
-        table.save(table_path)
         modeldist.write_histo(histo_path, table.histo())
         self._log(f"count[{stub}]: {len(table)} unique kmers, "
                   f"{meter.rate():.0f} reads/s")
+        return table
+
+    def _count_sample_multipass(self, path, stub, lower, passes,
+                                flat_path, histo_path, progress_path,
+                                sharding, bcap):
+        """P passes over the input; pass p folds only keys in ascending
+        range p (quantile boundaries from the first batch), spilling one
+        flat run per pass — the final table is the runs' concatenation.
+        Device memory stays ~1/P of the single-pass table + transient:
+        the whole-genome regime where one sample's table alone would not
+        leave HBM room for the fold's sort buffers (jellyfish --disk
+        role, count_main.cc:245-246, 318-338)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..parallel import (ShardedKmerTable, make_splitters,
+                                sharded_count_step)
+
+        cfg = self.cfg
+        step = sharded_count_step(self.mesh, cfg.k, bcap, self._route_cap)
+        mask_fn = jax.jit(
+            lambda k_, lo, hi: jnp.where((k_ >= lo) & (k_ < hi), k_,
+                                         count.SENTINEL))
+        part_paths = []
+        for p in range(passes):
+            meter = Throughput(name=f"count[{stub}] pass{p} reads")
+            stream = self._prefetch(self._batch_stream(
+                path, progress_path=progress_path if p == 0 else None))
+            dev = ShardedKmerTable(self.mesh, cfg.k, cfg.table_cap0)
+            for reads_d in self._device_prefetch(stream, sharding):
+                bk, bc, _, _dr = step(reads_d)
+                if self._pass_bounds is None:
+                    qs = make_splitters(bk, passes)
+                    self._pass_bounds = np.concatenate(
+                        [[np.uint64(0)], qs,
+                         [count.SENTINEL]]).astype(np.uint64)
+                    self._log(f"count multipass: {passes} key ranges, "
+                              f"bounds from the first batch")
+                bk = mask_fn(bk, jnp.uint64(self._pass_bounds[p]),
+                             jnp.uint64(self._pass_bounds[p + 1]))
+                dev.fold_batch(bk, bc)
+                meter.add(reads_d.shape[0])
+            if p == 0 and not bam.stream_complete(progress_path):
+                raise RuntimeError(
+                    f"count stream for {path} ended without the "
+                    f"completion sentinel ({progress_path})")
+            if lower > 1:
+                dev.apply_lower_count(lower)
+            dev.shrink()
+            pp = flat_path + f".pass{p}"
+            dev.to_flat(pp)
+            dev.release()
+            part_paths.append(pp)
+            self._log(f"count[{stub}] pass {p}: spilled "
+                      f"{meter.rate():.0f} reads/s")
+        table = count.concat_flat(part_paths, flat_path)
+        for pp in part_paths:
+            os.remove(pp)
+        self._spill = True  # downstream: host-stream subtract + pulls
+        if len(table) == 0:
+            raise RuntimeError(f"counting produced no kmers for {path}")
+        modeldist.write_histo(histo_path, table.histo())
+        self._log(f"count[{stub}]: {len(table)} unique kmers "
+                  f"({passes} passes)")
         return table
 
     def stage_count(self):
@@ -356,7 +491,10 @@ class RufusPipeline:
             streams = {}
             for path, stub, _ in jobs:
                 table_path = cfg.wpath(stub + ".table.npz")
-                if not os.path.exists(table_path):  # skip-resume: no decode
+                flat_path = cfg.wpath(stub + ".table.flat")
+                if cfg.count_passes == 1 and not (
+                        os.path.exists(table_path)
+                        or os.path.exists(flat_path)):  # skip-resume
                     streams[stub] = self._prefetch(self._batch_stream(
                         path, progress_path=cfg.wpath(stub + ".Jelly.chr")))
             done = [self.count_sample(path, stub, low,
@@ -435,14 +573,13 @@ class RufusPipeline:
                 mut, subj = mut[order], subj[order]
                 rec["path"] = "sharded"
             else:
-                # host fallback (resume: tables loaded from npz)
-                mut = count.subtract_unique(
+                # host path (spilled memmap tables, or resume from disk):
+                # chunked fused subtract — O(chunk) resident, pages of
+                # flat tables fault in on demand
+                mut, subj = count.subtract_unique_stream(
                     [tables["subject"]] + tables["controls"],
-                    merge_min=cfg.merge_min)
-                subj = tables["subject"].query(mut)
-                keep = (subj >= mutant_min_cov) & (subj <= max_hash_depth)
-                mut, subj = mut[keep], subj[keep]
-                rec["path"] = "host"
+                    cfg.merge_min, mutant_min_cov, max_hash_depth)
+                rec["path"] = "host-stream"
             if cfg.exclude_hash and os.path.exists(cfg.exclude_hash):
                 ex = count.KmerTable.load(cfg.exclude_hash)
                 keep = ex.query(mut) == 0
@@ -538,8 +675,18 @@ class RufusPipeline:
         self._bloom = jnp.asarray(rfilter.build_bloom(keys_np))
         self._hl_keys = keys_np
         progress = cfg.wpath(cfg.subject_stub + ".filter.chr")
+        array_batches = None
+        pair_stream = None
         if cfg.fastq_a:
-            pair_stream = self._fastq_pair_stream(cfg.fastq_a, cfg.fastq_b)
+            from ..io import native
+
+            if native.available():
+                # array-native fast path: no per-read str churn
+                array_batches = self._fastq_pair_batches(cfg.fastq_a,
+                                                         cfg.fastq_b)
+            else:
+                pair_stream = self._fastq_pair_stream(cfg.fastq_a,
+                                                      cfg.fastq_b)
         elif cfg.subject.endswith(".cram"):
             from ..io import cram
 
@@ -566,8 +713,12 @@ class RufusPipeline:
         with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
             # decode thread overlaps the device filter (the FIFO
             # process-pipelining role, as in the count stage)
-            for buf in self._prefetch(batches(), depth=2):
-                kept += self._filter_batch(buf, keys, f1, f2)
+            if array_batches is not None:
+                for tup in self._prefetch(array_batches, depth=2):
+                    kept += self._filter_batch_np(tup, f1, f2)
+            else:
+                for buf in self._prefetch(batches(), depth=2):
+                    kept += self._filter_batch(buf, keys, f1, f2)
         if not cfg.fastq_a and not bam.stream_complete(progress):
             raise RuntimeError(
                 f"filter stream ended without the completion sentinel "
@@ -576,6 +727,48 @@ class RufusPipeline:
             raise RuntimeError("filter kept no reads")
         self._log(f"filter kept {kept} pairs")
         return m1_path, m2_path
+
+    def _fastq_pair_batches(self, a, b):
+        """Raw numpy batch stream from the native paired decoder — no
+        per-read Python strings. The per-read str path materializes
+        20M+ small objects per 5M pairs; the churn grows glibc arenas by
+        gigabytes at WGS scale (SCALE_r04's unattributed filter RSS) and
+        costs ~2 us/read of decode. Batches are exactly batch_size rows
+        (accumulated across native calls) so the filter kernel compiles
+        once; arrays are trimmed to read_pad when every read fits."""
+        from ..io import native
+
+        np_ = native.NativeFastqPairs(a, b)
+        cfg = self.cfg
+        pad = max(cfg.read_pad, 1024)  # never truncate real reads
+        cap = cfg.batch_size
+        acc: list = []
+        have = 0
+
+        def emit(parts):
+            names = [n for p in parts for n in p[0]]
+            arrs = [np.concatenate([p[i] for p in parts])
+                    if len(parts) > 1 else parts[0][i] for i in range(1, 7)]
+            s1, q1, l1, s2, q2, l2 = arrs
+            W = cfg.read_pad
+            if int(l1.max(initial=0)) <= W and int(l2.max(initial=0)) <= W:
+                s1, q1, s2, q2 = (s1[:, :W], q1[:, :W], s2[:, :W],
+                                  q2[:, :W])
+            return names, s1, q1, l1, s2, q2, l2
+
+        while True:
+            names, s1, q1, l1, s2, q2, l2 = np_.read_pair_batch(cap - have,
+                                                                pad)
+            if not names:
+                break
+            acc.append((names, s1, q1, l1, s2, q2, l2))
+            have += len(names)
+            if have >= cap:
+                yield emit(acc)
+                acc, have = [], 0
+        if acc:
+            yield emit(acc)
+        np_.close()
 
     def _fastq_pair_stream(self, a, b):
         try:
@@ -722,6 +915,59 @@ class RufusPipeline:
                     continue
             f1.write(f"@{p[0]}\n{p[1]}\n+\n{p[2]}\n")
             f2.write(f"@{p[0]}\n{p[3]}\n+\n{p[4]}\n")
+            kept += 1
+        return kept
+
+    def _filter_batch_np(self, tup, f1, f2) -> int:
+        """Array-native _filter_batch: the kernel runs on the decoder's
+        numpy batches directly and only the (rare) kept rows are decoded
+        to text — identical keep semantics, none of the per-read str
+        churn."""
+        import jax.numpy as jnp
+        from ..ops import filter as rfilter
+
+        cfg = self.cfg
+        names, r1, q1, l1, r2, q2, l2 = tup
+        thr = cfg.filter_k_threshold
+        if self.n_devices > 1:
+            keep_idx = np.nonzero(self._filter_sharded(r1, q1, l1)
+                                  | self._filter_sharded(r2, q2, l2))[0]
+            verify = False
+        elif len(self._hl_keys) <= rfilter.SMALL_TABLE_MAX:
+            c1 = rfilter.small_table_hits_auto(
+                r1, q1, l1, self._hl_keys, cfg.k, cfg.filter_min_q)
+            c2 = rfilter.small_table_hits_auto(
+                r2, q2, l2, self._hl_keys, cfg.k, cfg.filter_min_q)
+            keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
+            verify = False
+        else:
+            c1 = np.asarray(rfilter.window_candidate_hits(
+                jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1),
+                self._bloom, cfg.k, cfg.filter_min_q))
+            c2 = np.asarray(rfilter.window_candidate_hits(
+                jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2),
+                self._bloom, cfg.k, cfg.filter_min_q))
+            keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
+            verify = True
+        kept = 0
+        for idx in keep_idx:
+            i = int(idx)
+            a, b = int(l1[i]), int(l2[i])
+            s1 = r1[i, :a].tobytes().decode()
+            sq1 = q1[i, :a].tobytes().decode()
+            s2 = r2[i, :b].tobytes().decode()
+            sq2 = q2[i, :b].tobytes().decode()
+            if verify:
+                ok = rfilter.exact_hits_host(s1, sq1, self._hl_keys, cfg.k,
+                                             cfg.filter_min_q) >= thr
+                if not ok:
+                    ok = rfilter.exact_hits_host(
+                        s2, sq2, self._hl_keys, cfg.k,
+                        cfg.filter_min_q) >= thr
+                if not ok:
+                    continue
+            f1.write(f"@{names[i]}\n{s1}\n+\n{sq1}\n")
+            f2.write(f"@{names[i]}\n{s2}\n+\n{sq2}\n")
             kept += 1
         return kept
 
@@ -1142,6 +1388,14 @@ class RufusPipeline:
         polish_vcf(vcf_path, final, with_mosaic=cfg.mosaic)
         return final
 
+    def _load_table(self, stub: str):
+        """Load a sample's saved count table — flat memmap (spilled WGS
+        runs) or npz."""
+        flat = self.cfg.wpath(stub + ".table.flat")
+        if os.path.exists(flat):
+            return count.KmerTable.load_flat(flat)
+        return count.KmerTable.load(self.cfg.wpath(stub + ".table.npz"))
+
     def regenotype(self, control_tables: list) -> str:
         """Re-genotype existing contigs against new control tables
         (scripts/Genotype.sh role): reruns the pull + interpret + polish
@@ -1152,7 +1406,7 @@ class RufusPipeline:
             raise FileNotFoundError("no assembled contigs to regenotype; "
                                     "run the pipeline first")
         tables = {
-            "subject": count.KmerTable.load(cfg.wpath(cfg.subject_stub + ".table.npz")),
+            "subject": self._load_table(cfg.subject_stub),
             "controls": control_tables,
         }
         inputs = self.stage_contig_align(contigs_path, tables)
@@ -1214,7 +1468,8 @@ class RufusPipeline:
 
         cfg = self.cfg
         patterns = [
-            "*.generator.table.npz", "*.generator.Jhash.histo",
+            "*.generator.table.npz", "*.generator.table.flat",
+            "*.generator.Jhash.histo",
             "*.generator.Jhash.histo.7.7.prob", "*.generator.Jelly.chr",
             "*.generator.filter.chr", "*.generator.k*_c*.HashList",
             "*.generator.Mutations.Mate1.fastq",

@@ -494,3 +494,65 @@ def test_host_owner_mirror_is_bit_exact():
     true_max = max(int(np.bincount(o[o < 4], minlength=4).max())
                    for o in owners)
     assert cap == max(128, -(-true_max // 128) * 128)
+
+
+@needs_mesh
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_spill_to_flat_matches_to_host(n_dev):
+    """Chunked device->flat spill (the jellyfish --disk role for the
+    out-of-HBM WGS regime) must produce the identical sorted table a
+    full host gather would — range partition, sentinel and zero-count
+    masking, tiny chunk size to force many boundary crossings."""
+    import tempfile
+
+    from rufus_tpu.parallel import local_count_step, make_splitters
+
+    k = 13
+    rng = np.random.default_rng(51)
+    reads = rng.choice(BASES, size=(16 * 8, 48)).astype(np.uint8)
+    mesh = make_mesh(n_dev)
+    if n_dev == 1:
+        dev = _build_sharded(mesh, reads, k, cap=16 * 8 * 36)
+    else:
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("d"))
+        lstep = local_count_step(mesh, k)
+        bk, _ = lstep(jax.device_put(jnp.asarray(reads), sh))
+        dev = ShardedKmerTable(mesh, k, capacity=16 * 8 * 36)
+        dev.splitters = make_splitters(bk, n_dev)
+        dev.fold_batch(bk)
+        dev.flush()
+    want = dev.to_host()
+    with tempfile.TemporaryDirectory() as td:
+        flat = dev.to_flat(td + "/t.flat", chunk=257)  # odd, tiny
+        np.testing.assert_array_equal(np.asarray(flat.keys), want.keys)
+        np.testing.assert_array_equal(np.asarray(flat.counts), want.counts)
+        np.testing.assert_array_equal(flat.histo(chunk=100), want.histo())
+        q = np.concatenate([want.keys[::3],
+                            rng.integers(0, 1 << 26, 50, dtype=np.uint64)])
+        np.testing.assert_array_equal(flat.query(q), want.query(q))
+    dev.release()
+    assert dev.keys is None
+
+
+def test_subtract_unique_stream_matches_dense():
+    """The chunked fused subtract (spilled regime) equals the dense
+    subtract_unique + subject pull at every chunk boundary case."""
+    rng = np.random.default_rng(61)
+    ks = np.sort(rng.choice(np.arange(1 << 20, dtype=np.uint64), 5000,
+                            replace=False))
+    subj = count.KmerTable(13, ks, rng.integers(1, 60, 5000))
+    c1 = count.KmerTable(13, np.sort(rng.choice(ks, 2000, replace=False)),
+                         np.full(2000, 3, np.int64))
+    extra = rng.integers(0, 1 << 20, 1000).astype(np.uint64)
+    c2k = np.unique(np.concatenate([rng.choice(ks, 500), extra]))
+    c2 = count.KmerTable(13, c2k, np.full(len(c2k), 2, np.int64))
+    for chunk in (100, 4096, 10**6):
+        got_k, got_c = count.subtract_unique_stream(
+            [subj, c1, c2], merge_min=5, min_cov=5, max_depth=40,
+            chunk=chunk)
+        ref = count.subtract_unique([subj, c1, c2], merge_min=5)
+        sc = subj.query(ref)
+        sel = (sc >= 5) & (sc <= 40)
+        np.testing.assert_array_equal(got_k, ref[sel])
+        np.testing.assert_array_equal(got_c, sc[sel])

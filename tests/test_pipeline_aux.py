@@ -286,3 +286,98 @@ def test_count_sample_local_agg_with_flush_overflow_retry(tmp_path):
     want = count.KmerTable.from_strings(13, seqs, canonical=True)
     np.testing.assert_array_equal(table.keys, want.keys)
     np.testing.assert_array_equal(table.counts, want.counts)
+
+
+def test_filter_array_path_matches_str_path(tmp_path):
+    """The array-native fastq-pair filter (no per-read str churn) must
+    write byte-identical Mutations fastqs to the per-read-str path —
+    same keep set, same order, same text."""
+    import jax
+
+    from rufus_tpu.io import native
+    from rufus_tpu.ops import codec
+    from rufus_tpu.pipeline import RufusConfig
+    from rufus_tpu.pipeline.driver import RufusPipeline
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(9)
+    bases = "ACGT"
+    k = 13
+    mutant = "".join(bases[j] for j in rng.integers(0, 4, 60))
+    hl = sorted({codec.str_to_kmer(codec.canonical_str(mutant[i:i + k]))
+                 for i in range(len(mutant) - k + 1)})
+    r1 = str(tmp_path / "in.R1.fastq")
+    r2 = str(tmp_path / "in.R2.fastq")
+    comp = str.maketrans("ACGTN", "TGCAN")
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(700):
+            if i % 97 == 0:
+                s = mutant + "".join(bases[j]
+                                     for j in rng.integers(0, 4, 40))
+            else:
+                s = "".join(bases[j] for j in rng.integers(0, 4, 100))
+            q = "".join(chr(33 + int(x))
+                        for x in rng.integers(20, 40, len(s)))
+            f1.write(f"@p{i} x\n{s}\n+\n{q}\n")
+            f2.write(f"@p{i} x\n{s.translate(comp)[::-1]}\n+\n{q[::-1]}\n")
+
+    hl_path = str(tmp_path / "mut.HashList")
+    with open(hl_path, "w") as f:
+        for kk in hl:
+            f.write(f"{codec.kmer_to_str(np.uint64(kk), k)}\t9\n")
+
+    outs = {}
+    for mode in ("array", "str"):
+        wd = str(tmp_path / f"wd_{mode}")
+        cfg = RufusConfig(subject=r1, fastq_a=r1, fastq_b=r2,
+                          controls=[], ref="unused.fa", k=k, workdir=wd,
+                          batch_size=256, sharded="off")
+        p = RufusPipeline(cfg)
+        if mode == "str":
+            orig = native.available
+            native.available = lambda: False
+            try:
+                m1, m2 = p.stage_filter(hl_path)
+            finally:
+                native.available = orig
+        else:
+            m1, m2 = p.stage_filter(hl_path)
+        outs[mode] = (open(m1).read(), open(m2).read())
+    assert outs["array"][0] == outs["str"][0]
+    assert outs["array"][1] == outs["str"][1]
+    assert outs["array"][0].count("@") >= 7  # planted reads kept
+
+
+def test_multipass_count_matches_single_pass(tmp_path):
+    """count_passes=3: three range-limited passes spill flat runs whose
+    concatenation must equal the single-pass table exactly (same keys,
+    counts, histo) — the WGS out-of-HBM counting regime."""
+    import jax
+
+    from rufus_tpu.ops import count
+    from rufus_tpu.pipeline import RufusConfig
+    from rufus_tpu.pipeline.driver import RufusPipeline
+
+    rng = np.random.default_rng(77)
+    bases = "ACGT"
+    fq = str(tmp_path / "s.fastq")
+    seqs = ["".join(bases[j] for j in rng.integers(0, 4, 70))
+            for _ in range(300)]
+    seqs += seqs[:80]  # counts > 1
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+    def run(passes, wd):
+        cfg = RufusConfig(subject=fq, controls=[], ref="unused.fa", k=13,
+                          workdir=str(tmp_path / wd), batch_size=64,
+                          read_pad=96, sharded="off",
+                          count_passes=passes, table_cap0=1 << 12)
+        return RufusPipeline(cfg).count_sample(fq, "S", lower=1)
+
+    single = run(1, "wd1")
+    multi = run(3, "wd3")
+    np.testing.assert_array_equal(np.asarray(multi.keys), single.keys)
+    np.testing.assert_array_equal(np.asarray(multi.counts), single.counts)
+    np.testing.assert_array_equal(multi.histo(), single.histo())
