@@ -1111,6 +1111,9 @@ class ShardedKmerTable:
         self._split_dev = None
         self._part_cap = None
         self._flush_route_cap = None
+        # observability: organic resize/retry events (asserted by the
+        # multichip dryrun; jellyfish's cooperative-resize analog)
+        self.stats = {"grows": 0, "flushes": 0, "route_retries": 0}
 
     def fold_batch(self, batch_keys, batch_counts=None):
         """Queue one sharded batch — RAW count-1 keys from the count step
@@ -1171,6 +1174,7 @@ class ShardedKmerTable:
         authoritative range-partitioned table. Lossless: partial-width and
         route-bin overflows are detected and retried wider."""
         n = self.mesh.devices.size
+        self.stats["flushes"] += 1
         bk = jnp.concatenate([k for k, _ in self._pending], axis=-1)
         self._pending = []
         self._pending_els = 0
@@ -1197,6 +1201,7 @@ class ShardedKmerTable:
             if int(np.asarray(dropped).sum()) == 0:
                 break
             self._flush_route_cap *= 2
+            self.stats["route_retries"] += 1
         while True:
             fold = sharded_fold_step(self.mesh, self.capacity, False)
             nk, nc, nn = fold(self.keys, self.counts, rk, rc)
@@ -1209,6 +1214,7 @@ class ShardedKmerTable:
     def _grow(self, need: int | None = None):
         """Grow per-shard capacity in place (SENTINEL/zero padding) to at
         least `need` (lane-aligned), minimum doubling."""
+        self.stats["grows"] += 1
         old = self.capacity
         target = max(old * 2, 1 << max(1, int(need or 1) - 1).bit_length())
         self.capacity = target
