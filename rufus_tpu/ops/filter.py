@@ -211,19 +211,21 @@ def small_table_hits_auto(reads, quals, lens, keys_np: np.ndarray, k: int,
         from . import pallas_filter
 
         pad = (-B) % pallas_filter.BLK
-        r = np.asarray(reads)
-        q = np.asarray(quals)
-        l = np.asarray(lens)
+        # jnp (not np) conversions/padding: callers may pass DEVICE
+        # arrays (the driver's packed-transport filter path) — an
+        # np.asarray here would round-trip them through the host
+        r = jnp.asarray(reads)
+        q = jnp.asarray(quals)
+        l = jnp.asarray(lens)
         if pad:
-            r = np.concatenate([r, np.full((pad, r.shape[1]), ord("N"),
-                                           np.uint8)])
-            q = np.concatenate([q, np.full((pad, q.shape[1]), ord("!"),
-                                           np.uint8)])
-            l = np.concatenate([l, np.zeros(pad, l.dtype)])
+            r = jnp.concatenate([r, jnp.full((pad, r.shape[1]),
+                                             ord("N"), jnp.uint8)])
+            q = jnp.concatenate([q, jnp.full((pad, q.shape[1]),
+                                             ord("!"), jnp.uint8)])
+            l = jnp.concatenate([l, jnp.zeros(pad, l.dtype)])
         hi, lo = pallas_filter.split_table(keys_np)
         h = pallas_filter.pallas_window_hits(
-            jnp.asarray(r), jnp.asarray(q), jnp.asarray(l),
-            jnp.asarray(hi), jnp.asarray(lo), k, min_q)
+            r, q, l, jnp.asarray(hi), jnp.asarray(lo), k, min_q)
         return np.asarray(h).ravel()[:B]
     return np.asarray(window_hits_small(
         jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),

@@ -31,7 +31,9 @@ try:  # pltpu only resolves fully on TPU builds
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
-BLK = 256  # reads per grid step
+BLK = 256  # reads per grid step (the kernel's unrolled k-loop live set
+# scales with BLK: ~10 MB of scoped VMEM at 256, 4x that at 1024 — past
+# the 16 MB limit)
 
 
 def _encode(ascii_u8):
@@ -44,7 +46,7 @@ def _encode(ascii_u8):
 
 
 def _filter_kernel(reads_ref, quals_ref, lens_ref, thi_ref, tlo_ref, out_ref,
-                   *, k: int, min_q: int, L: int, T: int):
+                   scratch, sem, *, k: int, min_q: int, L: int, T: int):
     reads = reads_ref[:]
     quals = quals_ref[:]
     lens = lens_ref[:]  # (BLK, 1)
@@ -102,8 +104,21 @@ def _filter_kernel(reads_ref, quals_ref, lens_ref, thi_ref, tlo_ref, out_ref,
     tlo = tlo_ref[:]
     for t in range(T):
         member = member | ((khi == thi[0, t]) & (klo == tlo[0, t]))
-    out_ref[:] = jnp.sum(scanned & member, axis=1, keepdims=True,
-                         dtype=jnp.int32)
+    # output lives in ANY (HBM) and is written by an explicit DMA: a
+    # plain blocked output gets its FULL buffer staged in scoped VMEM by
+    # XLA, where (8,128) tiling inflates a minor-dim-1 column 128x —
+    # 33+ MB at WGS batch sizes (compile-time scoped-vmem OOM). DMA
+    # slices must be 128-lane aligned, so hits broadcast across lanes
+    # (the XLA wrapper reads lane 0); HBM cost is 128 KB/block.
+    scratch[:] = jnp.broadcast_to(
+        jnp.sum(scanned & member, axis=1, keepdims=True,
+                dtype=jnp.int32), (BLK, 128))
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        scratch.at[:, :], out_ref.at[pl.ds(i * jnp.int32(BLK), BLK), :],
+        sem)
+    cp.start()
+    cp.wait()
 
 
 @functools.partial(jax.jit,
@@ -136,11 +151,13 @@ def pallas_window_hits(reads, quals, lens, table_hi, table_lo, k: int,
             pl.BlockSpec((1, T), lambda i: (z, z)),
             pl.BlockSpec((1, T), lambda i: (z, z)),
         ],
-        out_specs=pl.BlockSpec((BLK, 1), lambda i: (i, z)),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((BLK, 128), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(reads, quals, lens.reshape(B, 1), table_hi.reshape(1, T),
-      table_lo.reshape(1, T))
+      table_lo.reshape(1, T))[:, 0]
 
 
 def split_table(keys: np.ndarray, pad_to: int = 64):

@@ -67,6 +67,7 @@ class RufusPipeline:
         self._dev_tables: dict = {}  # stub -> ShardedKmerTable (resident)
         self._spill = None  # decided from the first table vs HBM budget
         self._pass_bounds = None  # multipass count key-range boundaries
+        self._unpack_rq: dict = {}  # per-length packed-transport unpackers
         self._route_cap = None  # per-peer all_to_all bin width (grows on
         # overflow, the lossless retry protocol of sharded_count_step)
         self._splitters = None  # range-partition boundaries shared by
@@ -412,6 +413,13 @@ class RufusPipeline:
         modeldist.write_histo(histo_path, table.histo())
         self._log(f"count[{stub}]: {len(table)} unique kmers, "
                   f"{meter.rate():.0f} reads/s")
+        if self._spill:
+            import gc
+
+            from ..utils import trace as _trace
+
+            gc.collect()
+            _trace.malloc_trim()
         return table
 
     def _count_sample_multipass(self, path, stub, lower, passes,
@@ -471,6 +479,15 @@ class RufusPipeline:
         for pp in part_paths:
             os.remove(pp)
         self._spill = True  # downstream: host-stream subtract + pulls
+        # drop the sample's transfer/staging buffers before the next one
+        # (the relay client holds host-side buffers keyed to device
+        # arrays; collect + trim returns them between samples)
+        import gc
+
+        from ..utils import trace as _trace
+
+        gc.collect()
+        _trace.malloc_trim()
         if len(table) == 0:
             raise RuntimeError(f"counting produced no kmers for {path}")
         modeldist.write_histo(histo_path, table.histo())
@@ -608,7 +625,7 @@ class RufusPipeline:
         self._bloom = jnp.asarray(rfilter.build_bloom(keys_np))
         kept = 0
         thr = cfg.filter_k_threshold
-        with open(out_path, "w") as out:
+        with open(out_path + ".tmp", "w") as out:
             buf = []
 
             def flush():
@@ -655,6 +672,7 @@ class RufusPipeline:
                 if len(buf) >= cfg.batch_size:
                     flush()
             flush()
+        os.rename(out_path + ".tmp", out_path)  # crash-safe skip-resume
         if kept == 0:
             raise RuntimeError("filter kept no reads")
         self._log(f"filter kept {kept} reads (single-end)")
@@ -710,7 +728,10 @@ class RufusPipeline:
             if buf:
                 yield buf
 
-        with open(m1_path, "w") as f1, open(m2_path, "w") as f2:
+        # tmp + rename: a crash mid-stage must not leave partial outputs
+        # that the skip-resume logic would trust on the next run
+        with open(m1_path + ".tmp", "w") as f1, \
+                open(m2_path + ".tmp", "w") as f2:
             # decode thread overlaps the device filter (the FIFO
             # process-pipelining role, as in the count stage)
             if array_batches is not None:
@@ -719,6 +740,8 @@ class RufusPipeline:
             else:
                 for buf in self._prefetch(batches(), depth=2):
                     kept += self._filter_batch(buf, keys, f1, f2)
+        os.rename(m1_path + ".tmp", m1_path)
+        os.rename(m2_path + ".tmp", m2_path)
         if not cfg.fastq_a and not bam.stream_complete(progress):
             raise RuntimeError(
                 f"filter stream ended without the completion sentinel "
@@ -918,6 +941,34 @@ class RufusPipeline:
             kept += 1
         return kept
 
+    def _reads_h2d(self, r, q):
+        """Packed-transport h2d for a filter batch on TPU: 2-bit + N-mask
+        reads and a 1-bit min-q qual plane cross the link (4.2x fewer
+        bytes), unpacked by fused u8 ops on device. Matters twice here:
+        the link is the slow resource, and the relay client RETAINS a
+        host copy of every byte ever transferred (measured, unbounded) —
+        packed transport shrinks both. Elsewhere returns host arrays
+        (kernels upload them as before)."""
+        import jax
+        import jax.numpy as jnp
+
+        if jax.default_backend() != "tpu":
+            return r, q
+        from ..ops import pack as rpack
+
+        L = r.shape[1]
+        f = self._unpack_rq.get(L)
+        if f is None:
+            f = jax.jit(lambda p, m, qm: (
+                rpack.unpack_reads_device(p, m, L),
+                rpack.unpack_qual_device(qm, L)))
+            self._unpack_rq[L] = f
+        pk, nm = rpack.pack_reads(r)
+        qm = rpack.pack_qual_ok(q, self.cfg.filter_min_q)
+        return f(jax.device_put(jnp.asarray(pk)),
+                 jax.device_put(jnp.asarray(nm)),
+                 jax.device_put(jnp.asarray(qm)))
+
     def _filter_batch_np(self, tup, f1, f2) -> int:
         """Array-native _filter_batch: the kernel runs on the decoder's
         numpy batches directly and only the (rare) kept rows are decoded
@@ -934,18 +985,22 @@ class RufusPipeline:
                                   | self._filter_sharded(r2, q2, l2))[0]
             verify = False
         elif len(self._hl_keys) <= rfilter.SMALL_TABLE_MAX:
+            r1d, q1d = self._reads_h2d(r1, q1)
+            r2d, q2d = self._reads_h2d(r2, q2)
             c1 = rfilter.small_table_hits_auto(
-                r1, q1, l1, self._hl_keys, cfg.k, cfg.filter_min_q)
+                r1d, q1d, l1, self._hl_keys, cfg.k, cfg.filter_min_q)
             c2 = rfilter.small_table_hits_auto(
-                r2, q2, l2, self._hl_keys, cfg.k, cfg.filter_min_q)
+                r2d, q2d, l2, self._hl_keys, cfg.k, cfg.filter_min_q)
             keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
             verify = False
         else:
+            r1d, q1d = self._reads_h2d(r1, q1)
+            r2d, q2d = self._reads_h2d(r2, q2)
             c1 = np.asarray(rfilter.window_candidate_hits(
-                jnp.asarray(r1), jnp.asarray(q1), jnp.asarray(l1),
+                jnp.asarray(r1d), jnp.asarray(q1d), jnp.asarray(l1),
                 self._bloom, cfg.k, cfg.filter_min_q))
             c2 = np.asarray(rfilter.window_candidate_hits(
-                jnp.asarray(r2), jnp.asarray(q2), jnp.asarray(l2),
+                jnp.asarray(r2d), jnp.asarray(q2d), jnp.asarray(l2),
                 self._bloom, cfg.k, cfg.filter_min_q))
             keep_idx = np.nonzero((c1 >= thr) | (c2 >= thr))[0]
             verify = True

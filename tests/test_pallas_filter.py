@@ -36,5 +36,5 @@ def test_pallas_filter_matches_exact(k):
     hi, lo = pallas_filter.split_table(keys)
     out = np.asarray(pallas_filter.pallas_window_hits(
         jnp.asarray(reads), jnp.asarray(quals), jnp.asarray(lens),
-        jnp.asarray(hi), jnp.asarray(lo), k, 15, interpret=True))[:, 0]
+        jnp.asarray(hi), jnp.asarray(lo), k, 15, interpret=True))
     np.testing.assert_array_equal(exact, out)

@@ -336,6 +336,9 @@ def main():
     f1, f2 = gen_sample("father", [genome], [1.0],
                         np.random.default_rng(SEED + 13))
     del genome, hap_dn, hap_all
+    if os.environ.get("SCALE_GEN_ONLY"):
+        print("generation done (SCALE_GEN_ONLY)", flush=True)
+        return
 
     import rufus_tpu  # noqa: F401
     from rufus_tpu.pipeline import RufusConfig, RufusPipeline
