@@ -164,7 +164,13 @@ def window_candidate_hits(ascii_reads, quals, lens, bloom_words, k: int,
     return jnp.sum(scanned & member, axis=1).astype(jnp.int32)
 
 
-SMALL_TABLE_MAX = 4096
+# Above this the Bloom+verify path wins: the fused Pallas kernel's
+# membership loop is UNROLLED T times (padded to a power of two), so a
+# 4096-key table both compiles pathologically slowly and costs
+# O(B*W*T) compares at runtime — measured fine at T<=1024, hopeless at
+# 4096 (a WGS-scale HashList with hundreds of real variants). The Bloom
+# probe is T-independent; its rare candidates are verified host-exact.
+SMALL_TABLE_MAX = 1024
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
