@@ -14,6 +14,7 @@ needs (SURVEY.md section 7.3).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -299,6 +300,75 @@ class KmerTable:
         t = cls.__new__(cls)
         t.k, t.keys, t.counts = k, keys.view(np.uint64), counts.view(np.int64)
         return t
+
+
+def merge_flat_runs(run_paths: list[str], out_path: str,
+                    lower_count: int = 0, chunk: int = 1 << 24):
+    """Streaming k-way merge-SUM of sorted-unique flat runs into one
+    flat table, applying the `-L` floor on the FINAL counts.
+
+    The LSM spill regime (jellyfish --disk, count_main.cc:318-338): when
+    one sample's table + fold transient exceed the HBM budget, counting
+    spills the table as a sorted run and restarts empty; runs OVERLAP in
+    key space, so the reduce is a merge-sum, not a concat. Chunks are
+    cut at a key bound every active run is consumed to (side='right'),
+    so each merged chunk's keys are FINAL — the floor applies per chunk.
+    O(chunk) resident; runs stream from memmap."""
+    tabs = [KmerTable.load_flat(p) for p in run_paths]
+    k = tabs[0].k
+    cursors = [0] * len(tabs)
+    kf = open(out_path + ".keys.tmp", "wb")
+    cf = open(out_path + ".counts.tmp", "wb")
+    n_out = 0
+    while True:
+        bounds = []
+        for t, c in zip(tabs, cursors):
+            if c < len(t.keys):
+                bounds.append(np.uint64(
+                    t.keys[min(c + chunk, len(t.keys)) - 1]))
+        if not bounds:
+            break
+        bound = min(bounds)
+        parts_k, parts_c = [], []
+        for i, t in enumerate(tabs):
+            c = cursors[i]
+            if c >= len(t.keys):
+                continue
+            win = np.asarray(t.keys[c:c + chunk])
+            e = c + int(np.searchsorted(win, bound, side="right"))
+            if e > c:
+                parts_k.append(win[: e - c])
+                parts_c.append(np.asarray(t.counts[c:e]))
+                cursors[i] = e
+        ks = np.concatenate(parts_k)
+        cs = np.concatenate(parts_c)
+        order = np.argsort(ks, kind="stable")
+        ks, cs = ks[order], cs[order]
+        head = np.ones(len(ks), bool)
+        head[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(head)
+        sums = np.add.reduceat(cs, starts) if len(cs) else cs
+        uk = ks[starts]
+        if lower_count > 1:
+            keep = sums >= lower_count
+            uk, sums = uk[keep], sums[keep]
+        uk.astype("<u8").tofile(kf)
+        sums.astype("<i8").tofile(cf)
+        n_out += len(uk)
+    kf.close()
+    cf.close()
+    with open(out_path, "wb") as f:
+        f.write(KmerTable.FLAT_MAGIC + b"\0\0\0\0")
+        np.array([k, n_out], dtype="<u8").tofile(f)
+        for tmp in (out_path + ".keys.tmp", out_path + ".counts.tmp"):
+            with open(tmp, "rb") as src:
+                while True:
+                    buf = src.read(1 << 24)
+                    if not buf:
+                        break
+                    f.write(buf)
+            os.remove(tmp)
+    return KmerTable.load_flat(out_path)
 
 
 def concat_flat(part_paths: list[str], out_path: str,

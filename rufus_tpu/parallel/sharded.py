@@ -1108,6 +1108,13 @@ class ShardedKmerTable:
         # (key, count) pairs — the combiner idiom. All tables that meet in
         # a subtract must share the same splitters.
         self.splitters = splitters
+        # out-of-HBM guard: when a fold would need to grow past
+        # max_capacity and an overflow_spill callback is installed, the
+        # COMMITTED table is spilled (callback's job: to_flat + reset)
+        # and the fold retries against the emptied table — the LSM
+        # run-spill regime (jellyfish --disk, count_main.cc:318-338)
+        self.max_capacity: int | None = None
+        self.overflow_spill = None
         self._split_dev = None
         self._part_cap = None
         self._flush_route_cap = None
@@ -1160,6 +1167,19 @@ class ShardedKmerTable:
             if need <= self.capacity:
                 self.keys, self.counts, self.n_unique = nk, nc, nn
                 return
+            if (self.overflow_spill is not None and self.max_capacity
+                    and need > self.max_capacity):
+                # growing would exceed the fold's HBM budget: spill the
+                # committed table as a sorted run, reset empty, retry.
+                # Progress guard: if the table is ALREADY empty the
+                # pending alone exceeds the budget — installers must
+                # clamp the pending trigger below max_capacity
+                if int(np.asarray(self.n_unique).max()) == 0:
+                    raise RuntimeError(
+                        f"pending unique ({need}) exceeds max_capacity "
+                        f"({self.max_capacity}); lower pending_budget")
+                self.overflow_spill(self)
+                continue
             # the fold reports the true per-shard unique count BEFORE
             # truncation, so grow straight to a capacity that fits (one
             # retry) instead of doubling once per retry (each doubling
@@ -1209,6 +1229,14 @@ class ShardedKmerTable:
             if need <= self.capacity:
                 self.keys, self.counts, self.n_unique = nk, nc, nn
                 return
+            if (self.overflow_spill is not None and self.max_capacity
+                    and need > self.max_capacity):
+                if int(np.asarray(self.n_unique).max()) == 0:
+                    raise RuntimeError(
+                        f"pending unique ({need}) exceeds max_capacity "
+                        f"({self.max_capacity}); lower pending_budget")
+                self.overflow_spill(self)
+                continue
             self._grow(need)
 
     def _grow(self, need: int | None = None):
@@ -1360,3 +1388,15 @@ class ShardedKmerTable:
         self._pending_els = 0
         self.keys = None
         self.counts = None
+
+    def reset(self, capacity: int | None = None):
+        """Empty the committed table in place (after a run spill) —
+        pending batches, splitters and compiled shapes are untouched."""
+        cap = capacity or self.capacity
+        n = self.mesh.devices.size
+        self.keys = jax.device_put(
+            jnp.full((n, cap), count.SENTINEL, jnp.uint64), self._sharding)
+        self.counts = jax.device_put(
+            jnp.zeros((n, cap), jnp.int64), self._sharding)
+        self.n_unique = jnp.zeros((), jnp.int64)
+        self.capacity = cap

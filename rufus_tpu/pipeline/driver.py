@@ -330,6 +330,33 @@ class RufusPipeline:
             stream = self._prefetch(
                 self._batch_stream(path, progress_path=progress_path))
         dev = ShardedKmerTable(mesh, cfg.k, cfg.table_cap0)
+        # out-of-HBM LSM guard: the fold's sort-merge transient costs
+        # ~48 B/slot on top of the 16 B/slot table, so a per-shard
+        # capacity past the budget would OOM the chip DURING the fold.
+        # When a fold would need to grow past max_capacity, the
+        # committed table spills to a sorted host run and counting
+        # continues empty; runs merge-sum on host at the end (jellyfish
+        # --disk's sorted-run regime, count_main.cc:245-246, 318-338).
+        runs: list[str] = []
+        if jax.default_backend() == "tpu" or cfg.spill_tables == "on":
+            budget_slots = int(cfg.hbm_budget_gb * (1 << 30) / 64
+                               / max(1, n_dev))
+            max_cap = 1 << max(7, budget_slots.bit_length() - 1)
+            dev.max_capacity = max(max_cap, cfg.table_cap0)
+
+            def _spill_run(t):
+                rp = flat_path + f".run{len(runs)}"
+                t.to_flat(rp)
+                t.reset()
+                runs.append(rp)
+                self._log(f"count[{stub}]: HBM budget reached — spilled "
+                          f"run {len(runs)} ({t.capacity} slots/shard)")
+
+            dev.overflow_spill = _spill_run
+            # pending must flush before its unique count can exceed the
+            # budget, or the spill-retry could never make progress
+            dev._pending_budget = min(dev._pending_budget,
+                                      dev.max_capacity // 2)
         if n_dev > 1:
             # LOCAL-AGGREGATE path (combiner idiom): batches stay device-
             # local with zero per-batch collectives — identical per-batch
@@ -380,6 +407,34 @@ class RufusPipeline:
             raise RuntimeError(
                 f"count stream for {path} ended without the completion "
                 f"sentinel ({progress_path})")
+        if runs:
+            # LSM run mode: final table joins the runs, host merge-sums
+            # with the -L floor applied on FINAL counts (count_main.cc
+            # -L semantics; runs overlap in key space so per-run floors
+            # would drop split counts)
+            dev.flush()
+            rp = flat_path + f".run{len(runs)}"
+            dev.to_flat(rp)
+            runs.append(rp)
+            dev.release()
+            table = count.merge_flat_runs(runs, flat_path,
+                                          lower_count=lower)
+            for rp in runs:
+                os.remove(rp)
+            self._spill = True
+            if len(table) == 0:
+                raise RuntimeError(f"counting produced no kmers for {path}")
+            modeldist.write_histo(histo_path, table.histo())
+            self._log(f"count[{stub}]: {len(table)} unique kmers "
+                      f"({len(runs)} spilled runs merged), "
+                      f"{meter.rate():.0f} reads/s")
+            import gc
+
+            from ..utils import trace as _trace
+
+            gc.collect()
+            _trace.malloc_trim()
+            return table
         if lower > 1:
             dev.apply_lower_count(lower)
         # release the error-kmer headroom the -L floor freed: the

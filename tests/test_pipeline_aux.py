@@ -381,3 +381,44 @@ def test_multipass_count_matches_single_pass(tmp_path):
     np.testing.assert_array_equal(np.asarray(multi.keys), single.keys)
     np.testing.assert_array_equal(np.asarray(multi.counts), single.counts)
     np.testing.assert_array_equal(multi.histo(), single.histo())
+
+
+def test_lsm_run_spill_count_matches_plain(tmp_path):
+    """LSM run-spill (out-of-HBM regime): a tiny forced budget makes the
+    count spill several overlapping sorted runs and merge-sum them on
+    host with the -L floor applied on FINAL counts — byte-identical
+    table to the unconstrained count."""
+    import numpy as np
+
+    from rufus_tpu.ops import count
+    from rufus_tpu.pipeline import RufusConfig
+    from rufus_tpu.pipeline.driver import RufusPipeline
+
+    rng = np.random.default_rng(88)
+    bases = "ACGT"
+    fq = str(tmp_path / "s.fastq")
+    seqs = ["".join(bases[j] for j in rng.integers(0, 4, 70))
+            for _ in range(400)]
+    seqs += seqs[:150]  # duplicate coverage: counts > 1, split across runs
+    with open(fq, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+    def run(spill, wd):
+        cfg = RufusConfig(subject=fq, controls=[], ref="unused.fa", k=13,
+                          workdir=str(tmp_path / wd), batch_size=64,
+                          read_pad=96, sharded="off",
+                          spill_tables="on" if spill else "off",
+                          # 8192-slot budget -> several run spills
+                          hbm_budget_gb=8192 * 64 / 2**30 if spill else 12,
+                          table_cap0=1 << 10)
+        p = RufusPipeline(cfg)
+        t = p.count_sample(fq, "S", lower=2)
+        return t, p
+
+    plain, _ = run(False, "wd_plain")
+    spilled, _ = run(True, "wd_spill")
+    np.testing.assert_array_equal(np.asarray(spilled.keys),
+                                  np.asarray(plain.keys))
+    np.testing.assert_array_equal(np.asarray(spilled.counts),
+                                  np.asarray(plain.counts))
