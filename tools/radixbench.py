@@ -111,8 +111,8 @@ def main():
         sh[ROWS:] = jnp.full((1, 128), _ONES, jnp.uint32)
         sl[ROWS:] = jnp.full((1, 128), _ONES, jnp.uint32)
         for b in range(NB):
-            st = runstart_ref[step, np.int32(b)]
-            rr = runrows_ref[step, np.int32(b)]
+            st = runstart_ref[step * jnp.int32(NB) + np.int32(b)]
+            rr = runrows_ref[step * jnp.int32(NB) + np.int32(b)]
             cur = cur_ref[np.int32(b)]
             # run-wise DMA: the bucket's rows land at the bucket region's
             # cursor (row-aligned measurement variant: boundary rows ride
@@ -122,14 +122,14 @@ def main():
             cp = pltpu.make_async_copy(
                 sh.at[pl.ds(jnp.minimum(src_row, jnp.int32(ROWS - 1)),
                             ROWS + 1), :],
-                oh_refs.at[b].at[pl.ds(
+                oh_refs[b].at[pl.ds(
                     jnp.minimum(cur, jnp.int32(out_rows - ROWS - 1)),
                     ROWS + 1), :],
                 sem.at[np.int32(0)])
             cp2 = pltpu.make_async_copy(
                 sl.at[pl.ds(jnp.minimum(src_row, jnp.int32(ROWS - 1)),
                             ROWS + 1), :],
-                ol_refs.at[b].at[pl.ds(
+                ol_refs[b].at[pl.ds(
                     jnp.minimum(cur, jnp.int32(out_rows - ROWS - 1)),
                     ROWS + 1), :],
                 sem.at[np.int32(1)])
@@ -170,8 +170,8 @@ def main():
 
     h2 = h.reshape(nblocks * ROWS, 128)
     l2 = l.reshape(nblocks * ROWS, 128)
-    rs = runstart.astype(jnp.int32)
-    rr = runrows.astype(jnp.int32)
+    rs = runstart.astype(jnp.int32).reshape(-1)  # 1-D scalar prefetch
+    rr = runrows.astype(jnp.int32).reshape(-1)
     t_partition = timeit(partition, h2, l2, rs, rr)
     t_starts = timeit(jax.jit(
         lambda hh: jax.nn.one_hot((hh.reshape(nblocks, BLKC) >> shift)
